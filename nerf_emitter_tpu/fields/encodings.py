@@ -1,0 +1,211 @@
+"""Input encodings: multi-resolution hash grid, spherical harmonics, NeRF
+frequency encoding.
+
+Re-design of the reference's encoding stack
+(nerfstudio/field_components/encodings.py:250-330) whose fast path is
+tiny-cuda-nn's CUDA hash grid. TPU-first design notes:
+
+- The hash tables of all L levels live in ONE flat (sum_l T_l, F) array so a
+  single batched gather serves every level; XLA lowers `take` to a dynamic
+  gather HLO and its transpose to scatter-add for the backward — the same
+  dataflow tcnn hand-writes in CUDA.
+- Levels whose dense grid fits the table budget are stored densely
+  (collision-free, like tcnn); only finer levels hash.
+- Feature dim F=2 with L=16 levels -> a (N, 32) output that feeds straight
+  into the bf16 MXU MLPs.
+
+A Pallas kernel (ops/hash_encode_pallas.py) can replace the XLA gather when
+profiling shows the gather as the bottleneck; this module is the reference
+implementation and the fallback (the reference's dual
+tcnn/torch `implementation` flag, encodings.py:272-312, realized as
+jax-vs-pallas instead).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# large primes for spatial hashing (Mueller et al., instant-ngp)
+_PRIMES = (1, 2654435761, 805459861)
+
+
+def hash_level_resolutions(
+    num_levels: int, min_res: int, max_res: int
+) -> list[int]:
+    """Per-level grid resolutions with geometric growth (instant-ngp eq. 2)."""
+    if num_levels == 1:
+        return [min_res]
+    growth = math.exp((math.log(max_res) - math.log(min_res)) / (num_levels - 1))
+    return [int(np.floor(min_res * growth**l)) for l in range(num_levels)]
+
+
+class HashGridSpec:
+    """Static geometry of a multi-res hash grid (hashable; safe under jit)."""
+
+    def __init__(
+        self,
+        num_levels: int = 16,
+        features_per_level: int = 2,
+        log2_hashmap_size: int = 19,
+        min_res: int = 16,
+        max_res: int = 2048,
+    ):
+        self.num_levels = num_levels
+        self.features_per_level = features_per_level
+        self.table_size = 2**log2_hashmap_size
+        self.resolutions = hash_level_resolutions(num_levels, min_res, max_res)
+        # dense (collision-free) storage when the level's corner grid fits
+        self.level_sizes = [
+            min((r + 1) ** 3, self.table_size) for r in self.resolutions
+        ]
+        self.offsets = np.concatenate([[0], np.cumsum(self.level_sizes)]).tolist()
+        self.total_size = self.offsets[-1]
+        self.out_dim = num_levels * features_per_level
+
+    def init_table(self, key: jax.Array, scale: float = 1e-4) -> jax.Array:
+        return jax.random.uniform(
+            key, (self.total_size, self.features_per_level), jnp.float32, -scale, scale
+        )
+
+
+def _level_indices(
+    ijk: jax.Array, res: int, level_size: int, offset: int
+) -> jax.Array:
+    """Corner integer coords (..., 3) -> flat table indices (...,)."""
+    if (res + 1) ** 3 <= level_size:
+        # dense: x + (res+1) * (y + (res+1) * z)
+        idx = ijk[..., 0] + (res + 1) * (ijk[..., 1] + (res + 1) * ijk[..., 2])
+    else:
+        h = ijk[..., 0] * _PRIMES[0]
+        h = jnp.bitwise_xor(h, ijk[..., 1] * _PRIMES[1])
+        h = jnp.bitwise_xor(h, ijk[..., 2] * _PRIMES[2])
+        idx = jnp.remainder(h, level_size)
+    return idx + offset
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def hash_encode(table: jax.Array, positions: jax.Array, spec: HashGridSpec) -> jax.Array:
+    """positions in [0,1]^3, shape (N, 3) -> features (N, L*F).
+
+    Out-of-range positions are clamped (callers contract to [0,1] first).
+    """
+    pos = jnp.clip(positions, 0.0, 1.0)
+    n = pos.shape[0]
+
+    scales = jnp.asarray(spec.resolutions, jnp.float32)  # (L,)
+    scaled = pos[:, None, :] * scales[None, :, None]  # (N, L, 3)
+    base = jnp.floor(scaled)
+    frac = scaled - base
+    base = base.astype(jnp.uint32)
+
+    # 8 corner offsets (static)
+    corners = jnp.asarray(
+        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], jnp.uint32
+    )  # (8, 3)
+    ijk = base[:, :, None, :] + corners[None, None, :, :]  # (N, L, 8, 3)
+
+    # per-level flat indices
+    idx_levels = []
+    for l in range(spec.num_levels):
+        idx_levels.append(
+            _level_indices(
+                ijk[:, l], spec.resolutions[l], spec.level_sizes[l], spec.offsets[l]
+            )
+        )
+    idx = jnp.stack(idx_levels, axis=1)  # (N, L, 8)
+
+    feats = jnp.take(table, idx.reshape(-1), axis=0)  # (N*L*8, F)
+    feats = feats.reshape(n, spec.num_levels, 8, spec.features_per_level)
+
+    # trilinear weights; corner order matches `corners` above
+    w = jnp.stack(
+        [
+            jnp.where(corners[c, 0] == 1, frac[..., 0], 1.0 - frac[..., 0])
+            * jnp.where(corners[c, 1] == 1, frac[..., 1], 1.0 - frac[..., 1])
+            * jnp.where(corners[c, 2] == 1, frac[..., 2], 1.0 - frac[..., 2])
+            for c in range(8)
+        ],
+        axis=-1,
+    )  # (N, L, 8)
+
+    out = jnp.sum(feats * w[..., None], axis=2)  # (N, L, F)
+    return out.reshape(n, spec.out_dim)
+
+
+# ---------------------------------------------------------------------------
+# spherical harmonics (direction encoding for the rgb head)
+# ---------------------------------------------------------------------------
+
+
+def sh_encode(directions: jax.Array, degree: int = 4) -> jax.Array:
+    """Real SH basis up to `degree` bands (degree<=4 -> 16 comps).
+    directions: unit vectors (..., 3)."""
+    x, y, z = directions[..., 0], directions[..., 1], directions[..., 2]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+
+    comps = [jnp.full_like(x, 0.28209479177387814)]
+    if degree > 1:
+        comps += [
+            -0.48860251190291987 * y,
+            0.48860251190291987 * z,
+            -0.48860251190291987 * x,
+        ]
+    if degree > 2:
+        comps += [
+            1.0925484305920792 * xy,
+            -1.0925484305920792 * yz,
+            0.94617469575755997 * zz - 0.31539156525251999,
+            -1.0925484305920792 * xz,
+            0.54627421529603959 * (xx - yy),
+        ]
+    if degree > 3:
+        comps += [
+            0.59004358992664352 * y * (-3.0 * xx + yy),
+            2.8906114426405538 * xy * z,
+            0.45704579946446572 * y * (1.0 - 5.0 * zz),
+            0.3731763325901154 * z * (5.0 * zz - 3.0),
+            0.45704579946446572 * x * (1.0 - 5.0 * zz),
+            1.4453057213202769 * z * (xx - yy),
+            0.59004358992664352 * x * (-xx + 3.0 * yy),
+        ]
+    if degree > 4:
+        raise NotImplementedError("SH degree > 4")
+    return jnp.stack(comps, axis=-1)
+
+
+def sh_dim(degree: int) -> int:
+    return degree**2
+
+
+# ---------------------------------------------------------------------------
+# NeRF frequency encoding (used by some baselines / distortion-free fields)
+# ---------------------------------------------------------------------------
+
+
+def nerf_encode(
+    x: jax.Array,
+    num_frequencies: int = 10,
+    min_freq_exp: float = 0.0,
+    max_freq_exp: float = 9.0,
+    include_input: bool = True,
+) -> jax.Array:
+    freqs = 2.0 ** jnp.linspace(min_freq_exp, max_freq_exp, num_frequencies)
+    scaled = x[..., None] * freqs  # (..., D, Fq)
+    enc = jnp.concatenate(
+        [jnp.sin(2.0 * jnp.pi * scaled), jnp.cos(2.0 * jnp.pi * scaled)], axis=-1
+    )
+    enc = enc.reshape(*x.shape[:-1], -1)
+    if include_input:
+        enc = jnp.concatenate([x, enc], axis=-1)
+    return enc
+
+
+def nerf_encode_dim(in_dim: int, num_frequencies: int, include_input: bool = True) -> int:
+    return in_dim * (2 * num_frequencies + (1 if include_input else 0))

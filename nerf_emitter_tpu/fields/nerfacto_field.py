@@ -1,0 +1,249 @@
+"""NerfactoField (HDR) and the proposal density field.
+
+Re-design of nerfstudio/fields/nerfacto_field.py (tcnn hash grid + fused
+MLPs + SafeExp HDR head, :40-57,:90-334) and
+nerfstudio/fields/density_fields.py (HashMLPDensityField) as flax modules.
+
+Key behaviors kept:
+- HDR output activation `safe_exp(raw + rgb_bias)` (SafeExp) vs sigmoid LDR.
+- density = safe_exp(raw - 1) (truncated-exp with bias), with a `selector`
+  that zeroes density outside the contracted [0,1]^3 domain.
+- `disable_inside_aabb` carve-out: density is zeroed INSIDE the object box
+  (nerfacto_field.py:228-256) so the NeRF models only the environment; the
+  flag is a traced boolean so enabling the box inside the takeover step
+  (mitsuba_sdf.py `disable_aabb` context) costs no recompile.
+- per-camera appearance embeddings, with the train-mean used at eval.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.spatial_distortions import (
+    contracted_to_unit,
+    fake_contraction,
+    scene_contraction_inf,
+)
+from ..utils.math import safe_exp
+from .encodings import HashGridSpec, hash_encode, sh_encode
+from .mlp import MLP
+
+
+class NerfactoField(nn.Module):
+    """Hash-grid radiance field.
+
+    `aabb` maps world space to the contraction domain. When
+    `use_fake_contraction` (bounded synthetic scenes) the aabb is affinely
+    mapped to [-2,2]^3; otherwise positions are normalized by the aabb then
+    contracted with the L-inf mip-NeRF-360 contraction.
+    """
+
+    aabb: tuple  # ((minx,miny,minz),(maxx,maxy,maxz)) static
+    num_levels: int = 16
+    features_per_level: int = 2
+    log2_hashmap_size: int = 19
+    min_res: int = 16
+    max_res: int = 2048
+    geo_feat_dim: int = 15
+    hidden_dim: int = 64
+    num_layers: int = 2
+    hidden_dim_color: int = 64
+    num_layers_color: int = 3
+    appearance_embedding_dim: int = 32
+    num_cameras: int = 128
+    sh_degree: int = 4
+    hdr: bool = True
+    rgb_bias: float = 0.0
+    use_fake_contraction: bool = True
+    average_init_density: float = 1.0
+
+    def setup(self):
+        self.grid_spec = HashGridSpec(
+            self.num_levels,
+            self.features_per_level,
+            self.log2_hashmap_size,
+            self.min_res,
+            self.max_res,
+        )
+        self.hash_table = self.param(
+            "hash_table", lambda k: self.grid_spec.init_table(k)
+        )
+        self.base_mlp = MLP(
+            out_dim=1 + self.geo_feat_dim,
+            num_layers=self.num_layers,
+            layer_width=self.hidden_dim,
+            name="base_mlp",
+        )
+        self.head_mlp = MLP(
+            out_dim=3,
+            num_layers=self.num_layers_color,
+            layer_width=self.hidden_dim_color,
+            name="head_mlp",
+        )
+        if self.appearance_embedding_dim > 0:
+            self.appearance_embedding = nn.Embed(
+                self.num_cameras, self.appearance_embedding_dim,
+                name="appearance_embedding",
+            )
+
+    def _contract(self, positions: jax.Array) -> jax.Array:
+        aabb = jnp.asarray(self.aabb, jnp.float32)
+        if self.use_fake_contraction:
+            contracted = fake_contraction(positions, aabb)
+        else:
+            unit = (positions - aabb[0]) / (aabb[1] - aabb[0])
+            contracted = scene_contraction_inf(unit * 2.0 - 1.0)
+        return contracted_to_unit(contracted)
+
+    def get_density(
+        self,
+        positions: jax.Array,
+        *,
+        disable_aabb: Optional[jax.Array] = None,
+        disable_aabb_on: jax.Array | bool = False,
+    ) -> tuple[jax.Array, jax.Array]:
+        """positions (..., 3) world -> (density (..., 1), geo_feat (..., G)).
+
+        disable_aabb: optional (2, 3) world box whose INTERIOR gets zero
+        density when disable_aabb_on is true (the object carve-out).
+        """
+        shape = positions.shape[:-1]
+        flat = positions.reshape(-1, 3)
+        unit = self._contract(flat)
+        selector = jnp.all((unit >= 0.0) & (unit <= 1.0), axis=-1, keepdims=True)
+
+        feats = hash_encode(self.hash_table, unit, self.grid_spec)
+        h = self.base_mlp(feats)
+        raw_density = h[..., :1]
+        geo = h[..., 1:]
+
+        density = self.average_init_density * safe_exp(raw_density - 1.0)
+        density = density * selector.astype(density.dtype)
+
+        if disable_aabb is not None:
+            inside = jnp.all(
+                (flat > disable_aabb[0]) & (flat < disable_aabb[1]),
+                axis=-1,
+                keepdims=True,
+            )
+            on = jnp.asarray(disable_aabb_on)
+            density = jnp.where(on & inside, 0.0, density)
+
+        return density.reshape(*shape, 1), geo.reshape(*shape, self.geo_feat_dim)
+
+    def get_rgb(
+        self,
+        geo_feat: jax.Array,
+        directions: jax.Array,
+        camera_indices: Optional[jax.Array] = None,
+        *,
+        use_average_appearance: jax.Array | bool = False,
+    ) -> jax.Array:
+        """geo_feat (..., G), directions (..., 3) unit -> rgb (..., 3)."""
+        shape = geo_feat.shape[:-1]
+        d_enc = sh_encode(directions.reshape(-1, 3), self.sh_degree)
+        h = [d_enc, geo_feat.reshape(-1, self.geo_feat_dim)]
+        if self.appearance_embedding_dim > 0:
+            if camera_indices is None:
+                cam = jnp.zeros((d_enc.shape[0],), jnp.int32)
+            else:
+                cam = jnp.broadcast_to(camera_indices[..., 0], shape).reshape(-1)
+            emb = self.appearance_embedding(cam)
+            mean_emb = jnp.mean(self.appearance_embedding.embedding, axis=0)
+            on = jnp.asarray(use_average_appearance)
+            emb = jnp.where(on, mean_emb[None, :], emb)
+            h.append(emb)
+        raw = self.head_mlp(jnp.concatenate(h, axis=-1))
+        if self.hdr:
+            rgb = safe_exp(raw, bias=self.rgb_bias)
+        else:
+            rgb = jax.nn.sigmoid(raw)
+        return rgb.reshape(*shape, 3)
+
+    def __call__(
+        self,
+        positions: jax.Array,
+        directions: jax.Array,
+        camera_indices: Optional[jax.Array] = None,
+        *,
+        disable_aabb: Optional[jax.Array] = None,
+        disable_aabb_on: jax.Array | bool = False,
+        use_average_appearance: jax.Array | bool = False,
+    ) -> dict:
+        density, geo = self.get_density(
+            positions, disable_aabb=disable_aabb, disable_aabb_on=disable_aabb_on
+        )
+        rgb = self.get_rgb(
+            geo, directions, camera_indices,
+            use_average_appearance=use_average_appearance,
+        )
+        return {"density": density, "rgb": rgb}
+
+
+class HashMLPDensityField(nn.Module):
+    """Small proposal density field (reference density_fields.py): coarse
+    hash grid + linear head; same contraction and carve-out semantics."""
+
+    aabb: tuple
+    num_levels: int = 5
+    features_per_level: int = 2
+    log2_hashmap_size: int = 17
+    min_res: int = 16
+    max_res: int = 128
+    hidden_dim: int = 16
+    num_layers: int = 2
+    use_fake_contraction: bool = True
+    average_init_density: float = 1.0
+
+    def setup(self):
+        self.grid_spec = HashGridSpec(
+            self.num_levels,
+            self.features_per_level,
+            self.log2_hashmap_size,
+            self.min_res,
+            self.max_res,
+        )
+        self.hash_table = self.param(
+            "hash_table", lambda k: self.grid_spec.init_table(k)
+        )
+        self.mlp = MLP(
+            out_dim=1, num_layers=self.num_layers, layer_width=self.hidden_dim,
+            name="mlp",
+        )
+
+    def _contract(self, positions: jax.Array) -> jax.Array:
+        aabb = jnp.asarray(self.aabb, jnp.float32)
+        if self.use_fake_contraction:
+            contracted = fake_contraction(positions, aabb)
+        else:
+            unit = (positions - aabb[0]) / (aabb[1] - aabb[0])
+            contracted = scene_contraction_inf(unit * 2.0 - 1.0)
+        return contracted_to_unit(contracted)
+
+    def __call__(
+        self,
+        positions: jax.Array,
+        *,
+        disable_aabb: Optional[jax.Array] = None,
+        disable_aabb_on: jax.Array | bool = False,
+    ) -> jax.Array:
+        shape = positions.shape[:-1]
+        flat = positions.reshape(-1, 3)
+        unit = self._contract(flat)
+        selector = jnp.all((unit >= 0.0) & (unit <= 1.0), axis=-1, keepdims=True)
+        feats = hash_encode(self.hash_table, unit, self.grid_spec)
+        raw = self.mlp(feats)
+        density = self.average_init_density * safe_exp(raw - 1.0)
+        density = density * selector.astype(density.dtype)
+        if disable_aabb is not None:
+            inside = jnp.all(
+                (flat > disable_aabb[0]) & (flat < disable_aabb[1]),
+                axis=-1, keepdims=True,
+            )
+            on = jnp.asarray(disable_aabb_on)
+            density = jnp.where(on & inside, 0.0, density)
+        return density.reshape(*shape, 1)
