@@ -1,0 +1,230 @@
+"""Jitted train/eval steps for radiance-field training.
+
+Re-design of the reference engine (nerfstudio/engine/trainer.py:488-540 +
+pipelines/base_pipeline.py:364): the torch train_iteration (DataManager ->
+DDP model -> AMP backward -> per-group optimizer step) becomes ONE jitted
+pure function: pixel sampling, ray generation, proposal sampling, field
+eval, compositing, losses, grads and the optax update all fuse into a
+single XLA program. Multi-chip data parallelism is a sharding constraint on
+the ray batch (params replicated -> XLA inserts the gradient all-reduce
+over ICI); there is no DDP wrapper, no GradScaler, no process group
+(reference scripts/train.py:140-146 NCCL machinery).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import flax.struct as struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..cameras.cameras import Cameras
+from ..data.datamanager import ImageDataset, sample_pixel_batch
+from ..models.nerfacto import NerfactoModel
+from ..ops import losses as L
+from ..utils.math import linear_to_srgb, mape, psnr, ssim
+from .optimizers import OptimizerGroupConfig, build_optimizer, label_params_by_prefix
+from .schedulers import proposal_anneal_schedule
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Static config of the nerfacto training phase (reference
+    method_configs.py:244-345: hdr-nerfacto / sdf-nerfacto pretrain)."""
+
+    num_rays_per_batch: int = 4096
+    near: float = 0.05
+    far: float = 1e3
+    rgb_loss: str = "rawnerf"
+    rgb_loss_second: Optional[str] = "relative_l1"  # averaged with rgb_loss
+    interlevel_mult: float = 1.0
+    distortion_mult: float = 0.002
+    anneal_steps: int = 1000
+    anneal_slope: float = 10.0
+    masked_sampling: bool = False
+    max_steps: int = 2000
+    lr_fields: float = 1e-2
+    lr_proposal: float = 1e-2
+    lr_final_ratio: float = 0.1
+    step_pretrain: Optional[int] = None  # LR x0.01 drop at takeover
+    data_axis: Optional[str] = None  # mesh axis name for ray sharding
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def build_nerfacto_optimizer(config: TrainConfig, params) -> optax.GradientTransformation:
+    groups = {
+        "fields": OptimizerGroupConfig(
+            lr=config.lr_fields,
+            lr_final=config.lr_fields * config.lr_final_ratio,
+            max_steps=config.max_steps,
+            step_pretrain=config.step_pretrain,
+            lr_lambda=0.01,
+        ),
+        "proposal_networks": OptimizerGroupConfig(
+            lr=config.lr_proposal,
+            lr_final=config.lr_proposal * config.lr_final_ratio,
+            max_steps=config.max_steps,
+            step_pretrain=config.step_pretrain,
+            lr_lambda=0.01,
+        ),
+        "camera_opt": OptimizerGroupConfig(lr=1e-3, max_steps=config.max_steps),
+    }
+    return build_optimizer(groups, label_params_by_prefix)
+
+
+def create_train_state(
+    model: NerfactoModel,
+    config: TrainConfig,
+    example_rays,
+    key: jax.Array,
+) -> tuple[TrainState, optax.GradientTransformation]:
+    params = jax.jit(model.init)(key, example_rays)
+    tx = build_nerfacto_optimizer(config, params)
+    return (
+        TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)),
+        tx,
+    )
+
+
+def make_train_step(
+    model: NerfactoModel,
+    config: TrainConfig,
+    tx: optax.GradientTransformation,
+    mesh=None,
+):
+    """Returns jitted train_step(state, dataset, key) -> (state, metrics).
+
+    mesh: optional jax.sharding.Mesh; with config.data_axis set, the pixel
+    batch is sharded over that axis (data parallelism — XLA all-reduces the
+    replicated-param grads over ICI)."""
+    anneal_fn = proposal_anneal_schedule(config.anneal_steps, config.anneal_slope)
+    rgb_loss_fns = [L.RGB_LOSSES[config.rgb_loss]]
+    if config.rgb_loss_second is not None:
+        rgb_loss_fns.append(L.RGB_LOSSES[config.rgb_loss_second])
+
+    def train_step(state: TrainState, dataset: ImageDataset, key: jax.Array):
+        k_pix, k_jit, k_model = jax.random.split(jax.random.fold_in(key, state.step), 3)
+        cam, coords, gt, mask = sample_pixel_batch(
+            k_pix,
+            dataset.images,
+            config.num_rays_per_batch,
+            masks=dataset.masks,
+            masked_sampling=config.masked_sampling,
+        )
+        if config.data_axis is not None and mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = lambda x: jax.lax.with_sharding_constraint(
+                x,
+                NamedSharding(
+                    mesh, P(config.data_axis, *([None] * (x.ndim - 1)))
+                ),
+            )
+            cam, coords, gt, mask = map(shard, (cam, coords, gt, mask))
+
+        jitter = jax.random.uniform(k_jit, (coords.shape[0], 2))
+        rays = dataset.cameras.generate_rays(
+            cam, coords, nears=config.near, fars=config.far, jitter=jitter
+        )
+        anneal = anneal_fn(state.step)
+
+        def loss_fn(params):
+            out = model.apply(
+                params, rays, key=k_model, train=True, proposal_anneal=anneal
+            )
+            pred = out["rgb"]
+            gt_m = gt * mask if config.masked_sampling else gt
+            pred_m = pred * mask if config.masked_sampling else pred
+            rgb_loss = sum(f(pred_m, gt_m) for f in rgb_loss_fns) / len(rgb_loss_fns)
+            il = L.interlevel_loss(out["weights_list"], out["spacing_bins_list"])
+            rs = out["ray_samples"]
+            dl = L.distortion_loss(
+                out["weights_list"][-1], rs.spacing_starts, rs.spacing_ends
+            )
+            total = (
+                rgb_loss
+                + config.interlevel_mult * il
+                + config.distortion_mult * dl
+            )
+            return total, {
+                "loss": total,
+                "rgb_loss": rgb_loss,
+                "interlevel": il,
+                "distortion": dl,
+                "psnr_linear": psnr(pred, gt, max_val=1.0),
+            }
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            metrics,
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_render_fn(model: NerfactoModel, config: TrainConfig, chunk: int = 4096):
+    """Full-image eval renderer: lax.map over fixed-size ray chunks
+    (replaces the reference's chunked get_outputs_for_camera_ray_bundle,
+    base_model.py:260-344)."""
+
+    @partial(jax.jit, static_argnames=("height", "width"))
+    def render_image(params, cameras: Cameras, cam_index: jax.Array, height: int, width: int):
+        yy, xx = jnp.meshgrid(jnp.arange(height), jnp.arange(width), indexing="ij")
+        coords = jnp.stack([yy, xx], -1).reshape(-1, 2)
+        n = coords.shape[0]
+        pad = (-n) % chunk
+        coords = jnp.pad(coords, ((0, pad), (0, 0)))
+        cam_idx = jnp.full((coords.shape[0],), cam_index, jnp.int32)
+
+        def render_chunk(args):
+            ci, co = args
+            rays = cameras.generate_rays(
+                ci, co, nears=config.near, fars=config.far
+            )
+            out = model.apply(
+                params, rays, train=False, use_average_appearance=False
+            )
+            return out["rgb"], out["depth"], out["accumulation"]
+
+        n_chunks = coords.shape[0] // chunk
+        rgb, depth, acc = jax.lax.map(
+            render_chunk,
+            (
+                cam_idx.reshape(n_chunks, chunk),
+                coords.reshape(n_chunks, chunk, 2),
+            ),
+        )
+        reshape = lambda x, c: x.reshape(-1, c)[:n].reshape(height, width, c)
+        return {
+            "rgb": reshape(rgb, 3),
+            "depth": reshape(depth, 1),
+            "accumulation": reshape(acc, 1),
+        }
+
+    return render_image
+
+
+def eval_image_metrics(pred: jax.Array, gt: jax.Array, is_hdr: bool = True) -> dict:
+    """PSNR/SSIM/MAPE; HDR images are sRGB-tonemapped first for PSNR/SSIM
+    (reference nerfacto.py:417-434,:480-526 linear_to_srgb metrics)."""
+    if is_hdr:
+        pred_t, gt_t = linear_to_srgb(pred), linear_to_srgb(gt)
+    else:
+        pred_t, gt_t = pred, gt
+    return {
+        "psnr": psnr(pred_t, gt_t),
+        "ssim": ssim(pred_t, gt_t),
+        "mape": mape(pred, gt),
+    }

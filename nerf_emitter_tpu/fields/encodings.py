@@ -82,10 +82,10 @@ def _level_indices(
         # dense: x + (res+1) * (y + (res+1) * z)
         idx = ijk[..., 0] + (res + 1) * (ijk[..., 1] + (res + 1) * ijk[..., 2])
     else:
-        h = ijk[..., 0] * _PRIMES[0]
-        h = jnp.bitwise_xor(h, ijk[..., 1] * _PRIMES[1])
-        h = jnp.bitwise_xor(h, ijk[..., 2] * _PRIMES[2])
-        idx = jnp.remainder(h, level_size)
+        h = ijk[..., 0] * jnp.uint32(_PRIMES[0])
+        h = jnp.bitwise_xor(h, ijk[..., 1] * jnp.uint32(_PRIMES[1]))
+        h = jnp.bitwise_xor(h, ijk[..., 2] * jnp.uint32(_PRIMES[2]))
+        idx = jnp.remainder(h, jnp.uint32(level_size))
     return idx + offset
 
 

@@ -151,7 +151,11 @@ class NerfactoField(nn.Module):
             if camera_indices is None:
                 cam = jnp.zeros((d_enc.shape[0],), jnp.int32)
             else:
-                cam = jnp.broadcast_to(camera_indices[..., 0], shape).reshape(-1)
+                # camera_indices: (n_rays, 1); broadcast over sample dims if any
+                cam = camera_indices
+                while cam.ndim > len(shape):
+                    cam = cam[..., 0]
+                cam = jnp.broadcast_to(cam, shape).reshape(-1)
             emb = self.appearance_embedding(cam)
             mean_emb = jnp.mean(self.appearance_embedding.embedding, axis=0)
             on = jnp.asarray(use_average_appearance)

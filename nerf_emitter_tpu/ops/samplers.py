@@ -111,7 +111,11 @@ def sample_pdf(
     weights: (n_rays, n_bins, 1); existing spacing bins come from ray_samples.
     """
     eps = 1e-5
-    w = weights[..., 0] + histogram_padding  # (n_rays, n_bins)
+    # Resampling is stop-gradient wrt the weights (mip-NeRF 360 convention):
+    # proposal nets learn only through the interlevel loss, and pow(w, anneal)
+    # has an infinite derivative at w=0. Ray-geometry gradients (for the
+    # emitter-query backward wrt o,v) still flow via near/far and positions.
+    w = jax.lax.stop_gradient(weights[..., 0]) + histogram_padding  # (n_rays, n_bins)
     w_sum = jnp.sum(w, axis=-1, keepdims=True)
     padding = jnp.maximum(eps - w_sum, 0.0)
     w = w + padding / w.shape[-1]

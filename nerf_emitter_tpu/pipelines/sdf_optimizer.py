@@ -1,0 +1,182 @@
+"""SDF inverse-rendering optimization loop (the takeover phase).
+
+Re-design of the Mitsuba/Dr.Jit side of MitsubaSdfPipeline
+(nerfstudio/pipelines/mitsuba_sdf.py:914-1040 get_train_loss_dict +
+:827-835 mi_opt_step) and the diff-sdf opt machinery: per takeover step,
+
+  for each of batch_size train images:
+    render the SDF scene at the image's camera (spp batched under
+    jax.checkpoint) -> view loss + mask loss + curvature loss
+  + Laplacian regularizer
+  -> one optax step on (sdf, albedo, roughness) with NaN-swept grads,
+  -> clamps / scheduled redistancing / upsample schedule.
+
+The Dr.Jit Adam + torch optimizer pair and the rank-0/worker lock-step
+protocol (:1014-1024) collapse into one jitted update; multi-chip scaling
+shards the pixel/spp axis via sharding constraints instead of
+pad_scatter/pad_gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import flax.struct as struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..cameras.cameras import Cameras
+from ..ops import losses as L
+from ..renderer.integrator import (
+    EmitterFn,
+    RenderConfig,
+    render_curvature,
+    render_spp,
+)
+from ..renderer.optimize import (
+    SdfOptConfig,
+    laplacian_reg,
+    maybe_upsample,
+    validate_gradients,
+    validate_params,
+)
+from ..renderer.scene import SdfScene
+from ..renderer.sensors import camera_rays_in_render_space
+
+
+class SdfOptState(struct.PyTreeNode):
+    step: jax.Array
+    scene: SdfScene
+    opt_state: Any
+
+
+def build_sdf_optimizer(config: SdfOptConfig) -> optax.GradientTransformation:
+    """Per-variable Adam (the reference's masked/sparse Dr.Jit Adam over
+    traversed params)."""
+    lrs = {v.name: v.lr for v in config.variables}
+
+    def label_fn(scene: SdfScene):
+        return SdfScene(
+            sdf="sdf",
+            albedo="albedo",
+            roughness="roughness",
+            envmap=None if scene.envmap is None else jax.tree.map(lambda _: "frozen", scene.envmap),
+            guiding=None if scene.guiding is None else jax.tree.map(lambda _: "frozen", scene.guiding),
+            bsdf_type=scene.bsdf_type,
+            hide_emitters=scene.hide_emitters,
+        )
+
+    txs = {
+        name: optax.adam(lrs.get(name, 1e-3), eps=1e-15)
+        for name in ("sdf", "albedo", "roughness")
+    }
+    txs["frozen"] = optax.set_to_zero()
+    return optax.multi_transform(txs, label_fn)
+
+
+@dataclasses.dataclass(frozen=True)
+class TakeoverConfig:
+    spp: int = 32
+    spp_per_batch: int = 8
+    image_height: int = 64
+    image_width: int = 64
+    scene_scale: float = 1.0
+    laplacian_mult: float = 1e-2
+    mask_loss_mult: float = 10.0
+    use_mask_loss: bool = True
+
+
+def make_sdf_train_step(
+    opt_config: SdfOptConfig,
+    takeover: TakeoverConfig,
+    tx: optax.GradientTransformation,
+    emitter_fn: Optional[EmitterFn] = None,
+    render_config: RenderConfig = RenderConfig(),
+):
+    """Returns jitted step(state, cameras, cam_indices, gt_images, gt_masks,
+    key) -> (state, metrics). gt_images: (B, H, W, 3); cam_indices: (B,)."""
+    loss_fn_rgb = L.RGB_LOSSES[opt_config.loss]
+    h, w = takeover.image_height, takeover.image_width
+
+    def render_one(scene, cameras, cam_idx, key):
+        o, d = camera_rays_in_render_space(
+            cameras, cam_idx, h, w, takeover.scene_scale, key=key
+        )
+        out = render_spp(
+            scene, o, d, key, takeover.spp,
+            emitter_fn=emitter_fn, config=render_config,
+        )
+        return out
+
+    def loss_of(scene, cameras, cam_indices, gt_images, gt_masks, key):
+        b = gt_images.shape[0]
+        keys = jax.random.split(key, b)
+
+        def per_image(args):
+            cam_idx, gt, mask, k = args
+            out = render_one(scene, cameras, cam_idx, k)
+            pred = out["rgb"].reshape(h, w, 3)
+            view_loss = loss_fn_rgb(pred, gt)
+            hit = out["hit"].reshape(h, w, 1).astype(jnp.float32)
+            mask_loss = jnp.mean((hit - mask) ** 2)
+            # curvature regularizer (2 spp render of |Laplacian| at hits)
+            o, d = camera_rays_in_render_space(
+                cameras, cam_idx, h, w, takeover.scene_scale, key=k
+            )
+            curv = jnp.mean(render_curvature(scene, o, d, render_config))
+            return view_loss, mask_loss, curv
+
+        view_l, mask_l, curv_l = jax.lax.map(
+            per_image, (cam_indices, gt_images, gt_masks, keys)
+        )
+        view_loss = jnp.mean(view_l)
+        mask_loss = jnp.mean(mask_l) if takeover.use_mask_loss else 0.0
+        curv_loss = jnp.mean(curv_l)
+        lap = laplacian_reg(scene.sdf)
+        total = (
+            view_loss
+            + takeover.mask_loss_mult * mask_loss
+            + opt_config.curvature_mult * curv_loss
+            + takeover.laplacian_mult * lap
+        )
+        return total, {
+            "loss": total,
+            "view_loss": view_loss,
+            "mask_loss": mask_loss,
+            "curvature": curv_loss,
+            "laplacian": lap,
+        }
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: SdfOptState, cameras: Cameras, cam_indices, gt_images, gt_masks, key):
+        grads, metrics = jax.grad(loss_of, has_aux=True)(
+            state.scene, cameras, cam_indices, gt_images, gt_masks, key
+        )
+        grads = validate_gradients(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.scene)
+        scene = optax.apply_updates(state.scene, updates)
+        return (
+            SdfOptState(step=state.step + 1, scene=scene, opt_state=opt_state),
+            metrics,
+        )
+
+    return step
+
+
+def post_step_host(state: SdfOptState, opt_config: SdfOptConfig, tx) -> SdfOptState:
+    """Host-side schedule: clamps + redistancing (jitted internally) and the
+    upsample schedule, which changes array SHAPES and therefore lives
+    outside the jitted step (reference validate_params/update_scene at
+    mi_opt_step, mitsuba_sdf.py:827-835)."""
+    step = int(state.step)
+    scene = validate_params(state.scene, opt_config, step)
+    new_scene = maybe_upsample(scene, opt_config, step)
+    if new_scene.sdf.shape != scene.sdf.shape:
+        # re-init optimizer state for the new shape
+        return SdfOptState(
+            step=state.step, scene=new_scene, opt_state=tx.init(new_scene)
+        )
+    return state.replace(scene=scene)

@@ -1,0 +1,184 @@
+"""Unit tests for hash encoding, SH encoding, fields, and model forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_emitter_tpu.cameras.rays import RayBundle
+from nerf_emitter_tpu.fields.encodings import (
+    HashGridSpec,
+    hash_encode,
+    nerf_encode,
+    sh_encode,
+)
+from nerf_emitter_tpu.fields.nerfacto_field import HashMLPDensityField, NerfactoField
+from nerf_emitter_tpu.models.nerfacto import NerfactoModel
+
+AABB = ((-1.5, -1.5, -1.5), (1.5, 1.5, 1.5))
+
+
+def _bundle(n_rays=4):
+    key = jax.random.PRNGKey(0)
+    d = jax.random.normal(key, (n_rays, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return RayBundle(
+        origins=jnp.zeros((n_rays, 3)),
+        directions=d,
+        pixel_area=jnp.full((n_rays, 1), 1e-4),
+        nears=jnp.full((n_rays, 1), 0.1),
+        fars=jnp.full((n_rays, 1), 4.0),
+        camera_indices=jnp.zeros((n_rays, 1), jnp.int32),
+    )
+
+
+def test_hash_encode_shapes_and_grad():
+    spec = HashGridSpec(num_levels=4, log2_hashmap_size=12, min_res=4, max_res=32)
+    table = spec.init_table(jax.random.PRNGKey(0))
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+    out = hash_encode(table, pos, spec)
+    assert out.shape == (64, spec.out_dim)
+
+    # gradient flows into the table (scatter-add transpose of gather)
+    g = jax.grad(lambda t: jnp.sum(hash_encode(t, pos, spec) ** 2))(table)
+    assert float(jnp.abs(g).sum()) > 0.0
+
+
+def test_hash_encode_trilinear_continuity():
+    """Encoding should be continuous: nearby points -> nearby features."""
+    spec = HashGridSpec(num_levels=2, log2_hashmap_size=10, min_res=4, max_res=8)
+    table = spec.init_table(jax.random.PRNGKey(0), scale=1.0)
+    p = jnp.array([[0.31, 0.47, 0.55]])
+    eps = 1e-4
+    p2 = p + eps
+    a = hash_encode(table, p, spec)
+    b = hash_encode(table, p2, spec)
+    assert float(jnp.abs(a - b).max()) < 0.05
+
+
+def test_hash_encode_corner_exact():
+    """At a grid corner the encoding equals the table entry (dense level)."""
+    spec = HashGridSpec(num_levels=1, log2_hashmap_size=12, min_res=4, max_res=4)
+    table = spec.init_table(jax.random.PRNGKey(0), scale=1.0)
+    # corner (1,2,3) of a res-4 grid -> position (.25, .5, .75)
+    pos = jnp.array([[0.25, 0.5, 0.75]])
+    out = hash_encode(table, pos, spec)
+    idx = 1 + 5 * (2 + 5 * 3)
+    np.testing.assert_allclose(out[0], table[idx], atol=1e-5)
+
+
+def test_sh_encode_dims_and_norm():
+    d = jax.random.normal(jax.random.PRNGKey(0), (32, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    for deg in (1, 2, 3, 4):
+        out = sh_encode(d, deg)
+        assert out.shape == (32, deg**2)
+    # band-0 is the constant
+    np.testing.assert_allclose(sh_encode(d, 1)[:, 0], 0.2820948, rtol=1e-5)
+
+
+def test_nerf_encode_dims():
+    x = jnp.zeros((8, 3))
+    out = nerf_encode(x, num_frequencies=4)
+    assert out.shape == (8, 3 * (2 * 4 + 1))
+
+
+def test_nerfacto_field_forward():
+    field = NerfactoField(
+        aabb=AABB, num_levels=4, log2_hashmap_size=12, max_res=64,
+        num_cameras=4,
+    )
+    pos = jax.random.uniform(jax.random.PRNGKey(0), (8, 3), minval=-1.0, maxval=1.0)
+    dirs = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (8, 1))
+    params = field.init(jax.random.PRNGKey(1), pos, dirs)
+    out = field.apply(params, pos, dirs)
+    assert out["density"].shape == (8, 1)
+    assert out["rgb"].shape == (8, 3)
+    assert bool(jnp.all(out["density"] >= 0))
+    assert bool(jnp.all(out["rgb"] >= 0))  # HDR: safe_exp output
+
+
+def test_field_disable_aabb_carveout():
+    field = NerfactoField(
+        aabb=AABB, num_levels=4, log2_hashmap_size=12, max_res=64, num_cameras=4
+    )
+    pos = jnp.array([[0.0, 0.0, 0.0], [1.2, 1.2, 1.2]])
+    dirs = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (2, 1))
+    params = field.init(jax.random.PRNGKey(1), pos, dirs)
+    box = jnp.array([[-0.5, -0.5, -0.5], [0.5, 0.5, 0.5]])
+    d_on, _ = field.apply(
+        params, pos, disable_aabb=box, disable_aabb_on=True,
+        method=NerfactoField.get_density,
+    )
+    d_off, _ = field.apply(
+        params, pos, disable_aabb=box, disable_aabb_on=False,
+        method=NerfactoField.get_density,
+    )
+    assert float(d_on[0, 0]) == 0.0  # inside box zeroed
+    assert float(d_on[1, 0]) == float(d_off[1, 0])  # outside unaffected
+    assert float(d_off[0, 0]) > 0.0
+
+
+def test_density_field_forward():
+    f = HashMLPDensityField(aabb=AABB, num_levels=2, log2_hashmap_size=10, max_res=32)
+    pos = jax.random.uniform(jax.random.PRNGKey(0), (8, 3))
+    params = f.init(jax.random.PRNGKey(1), pos)
+    d = f.apply(params, pos)
+    assert d.shape == (8, 1)
+    assert bool(jnp.all(d >= 0))
+
+
+def _tiny_model():
+    return NerfactoModel(
+        aabb=AABB,
+        num_nerf_samples=8,
+        num_proposal_samples=(16, 8),
+        log2_hashmap_size=12,
+        max_res=128,
+        num_cameras=4,
+    )
+
+
+def test_model_forward_and_grad():
+    model = _tiny_model()
+    rb = _bundle(8)
+    params = model.init(jax.random.PRNGKey(0), rb)
+    out = model.apply(params, rb, train=False)
+    assert out["rgb"].shape == (8, 3)
+    assert out["depth"].shape == (8, 1)
+    assert out["accumulation"].shape == (8, 1)
+
+    def loss_fn(p):
+        o = model.apply(
+            p, rb, key=jax.random.PRNGKey(1), train=True, proposal_anneal=0.5
+        )
+        return jnp.mean(o["rgb"] ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
+    assert np.isfinite(total) and total > 0
+
+
+def test_model_train_outputs_for_losses():
+    model = _tiny_model()
+    rb = _bundle(4)
+    params = model.init(jax.random.PRNGKey(0), rb)
+    out = model.apply(params, rb, key=jax.random.PRNGKey(1), train=True)
+    assert len(out["weights_list"]) == 3
+    assert len(out["spacing_bins_list"]) == 3
+    from nerf_emitter_tpu.ops.losses import distortion_loss, interlevel_loss
+
+    il = interlevel_loss(out["weights_list"], out["spacing_bins_list"])
+    rs = out["ray_samples"]
+    dl = distortion_loss(out["weights_list"][-1], rs.spacing_starts, rs.spacing_ends)
+    assert np.isfinite(float(il)) and np.isfinite(float(dl))
+
+
+def test_point_lights():
+    model = _tiny_model()
+    rb = _bundle(4)
+    params = model.init(jax.random.PRNGKey(0), rb)
+    out = model.apply(params, rb, method=NerfactoModel.point_lights)
+    for k in ("rgb", "luminance", "depth", "brightness_grad"):
+        assert np.all(np.isfinite(np.asarray(out[k]))), k
+    assert out["luminance"].shape == (4,)
+    assert out["brightness_grad"].shape == (4,)

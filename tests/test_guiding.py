@@ -1,0 +1,54 @@
+"""Tests for path guiding: GMM EM, light point cloud, vMF build."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_emitter_tpu.guiding.gmm import fit_spherical_gmm
+from nerf_emitter_tpu.guiding.light_pc import compensate_pc
+
+
+def test_gmm_recovers_two_clusters():
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    a = jax.random.normal(k1, (256, 3)) * 0.05 + jnp.array([1.0, 0.0, 0.0])
+    b = jax.random.normal(k2, (256, 3)) * 0.05 + jnp.array([-1.0, 0.0, 0.0])
+    pts = jnp.concatenate([a, b])
+    w = jnp.ones((512,))
+    means, pis, stds = fit_spherical_gmm(k3, pts, w, n_clusters=4, n_iters=40)
+    # the heaviest components should sit near the two true centers
+    order = jnp.argsort(-pis)
+    top2 = means[order[:2]]
+    xs = np.sort(np.asarray(top2[:, 0]))
+    np.testing.assert_allclose(xs, [-1.0, 1.0], atol=0.15)
+    np.testing.assert_allclose(float(jnp.sum(pis)), 1.0, atol=1e-4)
+    assert bool(jnp.all(stds > 0))
+
+
+def test_gmm_weighted_ignores_zero_weight():
+    key = jax.random.PRNGKey(1)
+    pts = jnp.concatenate(
+        [jnp.zeros((64, 3)), jnp.ones((64, 3)) * 5.0]
+    )
+    w = jnp.concatenate([jnp.ones((64,)), jnp.zeros((64,))])
+    means, pis, stds = fit_spherical_gmm(key, pts, w, n_clusters=2, n_iters=30)
+    # all mass near origin
+    heavy = means[jnp.argmax(pis)]
+    np.testing.assert_allclose(heavy, 0.0, atol=0.2)
+
+
+def test_compensate_pc_thresholds():
+    pts = jnp.arange(30, dtype=jnp.float32)[:, None].repeat(3, 1)
+    lum = jnp.concatenate([jnp.zeros(20), jnp.full((10,), 10.0)])
+    sel_pts, w = compensate_pc(pts, lum, max_points=10)
+    assert sel_pts.shape == (10, 3)
+    # all selected points come from the bright tail
+    assert bool(jnp.all(sel_pts[:, 0] >= 20))
+    assert bool(jnp.all(w > 0))
+
+
+def test_compensate_pc_pads_with_zero_weight():
+    pts = jnp.zeros((8, 3))
+    lum = jnp.ones((8,))  # uniform -> all weights 0 after mean subtract
+    sel, w = compensate_pc(pts, lum, max_points=4)
+    np.testing.assert_allclose(w, 0.0, atol=1e-6)
