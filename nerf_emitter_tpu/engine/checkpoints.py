@@ -1,0 +1,44 @@
+"""Checkpoint I/O via orbax.
+
+Re-design of the reference checkpointing (nerfstudio/engine/
+trainer.py:413-486 torch.save of {step, pipeline, optimizers, scalers} +
+the cross-framework Mitsuba-variable export in mitsuba_sdf.py:837-876):
+everything here is ONE pytree — nerf train state, SDF opt state, guiding
+mixture — so a single orbax save/restore replaces the torch<->Dr.Jit
+bridging. `save_only_latest` prunes old steps like the reference flag.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: Path, save_only_latest: bool = True):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        opts = ocp.CheckpointManagerOptions(
+            max_to_keep=1 if save_only_latest else None, create=True
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=opts)
+
+    def save(self, step: int, state: Any):
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_template)
+        )
+
+    def close(self):
+        self._mgr.close()

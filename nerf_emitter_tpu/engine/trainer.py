@@ -1,0 +1,145 @@
+"""Trainer: host-side orchestration of the two-phase run.
+
+Re-design of nerfstudio/engine/trainer.py: setup (data -> model ->
+pipeline), the train loop with its callback schedule (proposal-anneal is
+traced; guiding rebuild / takeover transition / eval / checkpoint are
+host-side step hooks), metrics via utils.writer, checkpoints via orbax.
+The reference's mp.spawn + NCCL worker fan-out (scripts/train.py:105-226)
+does not exist: one process drives the SPMD program; multi-chip is the
+mesh inside the jitted steps.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.methods import ExperimentConfig
+from ..data.datamanager import ImageDataset, build_dataset
+from ..data.dataparsers.instant_ngp import InstantNGPDataparserConfig, parse_instant_ngp
+from ..engine.train_loop import eval_image_metrics
+from ..models.nerfacto import NerfactoModel
+from ..pipelines.nerf_emitter import NerfEmitterPipeline
+from ..renderer.optimize import get_opt_config
+from ..utils import profiler, writer as writer_mod
+from .checkpoints import CheckpointManager
+
+
+class Trainer:
+    def __init__(self, config: ExperimentConfig):
+        self.config = config
+        self.run_dir = config.run_dir
+        self.writer = writer_mod.EventWriter(self.run_dir / "logs")
+        self.ckpt = CheckpointManager(self.run_dir / "checkpoints")
+
+    def setup(self):
+        cfg = self.config
+        dp_cfg = InstantNGPDataparserConfig(
+            data=cfg.datacfg.data,
+            scene_scale=cfg.datacfg.scene_scale,
+            aabb_scale=cfg.datacfg.aabb_scale,
+            eval_mode=cfg.datacfg.eval_mode,
+            mi_data=cfg.datacfg.mi_data,
+            test_data=cfg.datacfg.test_data,
+            downscale_factor=cfg.datacfg.downscale_factor,
+        )
+        train_out = parse_instant_ngp(dp_cfg, "train")
+        self.dataset = build_dataset(train_out)
+        try:
+            eval_out = parse_instant_ngp(dp_cfg, "val")
+            self.eval_dataset: Optional[ImageDataset] = (
+                build_dataset(eval_out) if eval_out.image_filenames else None
+            )
+        except Exception:
+            self.eval_dataset = None
+
+        s = cfg.datacfg.aabb_scale
+        aabb = ((-s, -s, -s), (s, s, s))
+        m = cfg.model
+        self.model = NerfactoModel(
+            aabb=aabb,
+            hdr=m.hdr,
+            num_nerf_samples=m.num_nerf_samples,
+            num_proposal_samples=tuple(m.num_proposal_samples),
+            log2_hashmap_size=m.log2_hashmap_size,
+            max_res=m.max_res,
+            num_cameras=max(len(self.dataset.cameras), 1),
+            appearance_embedding_dim=m.appearance_embedding_dim,
+            background_color=m.background_color,
+            use_fake_contraction=m.use_fake_contraction,
+        )
+        pipe_cfg = cfg.pipeline
+        pipe_cfg.scene_scale = cfg.datacfg.aabb_scale
+        self.pipeline = NerfEmitterPipeline(
+            pipe_cfg,
+            self.model,
+            cfg.train,
+            get_opt_config(cfg.opt_config_name),
+            self.dataset,
+        )
+        from ..configs.cli import save_config
+
+        save_config(cfg, self.run_dir / "config.json")
+
+    @profiler.time_function
+    def train(self):
+        cfg = self.config
+        key = jax.random.PRNGKey(cfg.seed)
+        t_start = time.time()
+        n_rays = cfg.train.num_rays_per_batch
+
+        for step in range(cfg.max_num_iterations):
+            key, k = jax.random.split(key)
+            with profiler.time_block("train_iteration"):
+                metrics = self.pipeline.train_iteration(step, k)
+
+            if step % 10 == 0:
+                m = {k_: float(np.asarray(v)) for k_, v in metrics.items()}
+                dt = (time.time() - t_start) / (step + 1)
+                m[writer_mod.TRAIN_RAYS_PER_SEC] = n_rays / max(dt, 1e-9)
+                m[writer_mod.ETA] = dt * (cfg.max_num_iterations - step)
+                self.writer.put_dict(m, step)
+                self.writer.maybe_print(step, m)
+                self.writer.flush(step)
+
+            if step > 0 and step % cfg.steps_per_eval_image == 0:
+                self.eval_step(step)
+            if step > 0 and step % cfg.steps_per_save == 0:
+                self.save_checkpoint(step)
+
+        self.save_checkpoint(cfg.max_num_iterations)
+        self.writer.close()
+
+    def eval_step(self, step: int):
+        ds = self.eval_dataset or self.dataset
+        idx = step // self.config.steps_per_eval_image % ds.images.shape[0]
+        out = self.pipeline.render_fn(
+            self.pipeline.nerf_state.params,
+            ds.cameras,
+            jnp.int32(idx),
+            ds.cameras.height,
+            ds.cameras.width,
+        )
+        m = eval_image_metrics(out["rgb"], ds.images[idx], is_hdr=ds.is_hdr)
+        self.writer.put_dict({f"eval/{k}": v for k, v in m.items()}, step)
+        self.writer.put_image("eval/rgb", np.asarray(out["rgb"]), step)
+
+    def save_checkpoint(self, step: int):
+        state = {"nerf": self.pipeline.nerf_state}
+        if self.pipeline.sdf_state is not None:
+            state["sdf"] = self.pipeline.sdf_state
+        self.ckpt.save(step, state)
+
+    def load_checkpoint(self, step: Optional[int] = None):
+        template = {"nerf": self.pipeline.nerf_state}
+        if self.pipeline.sdf_state is not None:
+            template["sdf"] = self.pipeline.sdf_state
+        restored = self.ckpt.restore(template, step)
+        self.pipeline.nerf_state = restored["nerf"]
+        if "sdf" in restored:
+            self.pipeline.sdf_state = restored["sdf"]

@@ -289,6 +289,68 @@ class NerfEmitterPipeline:
         self.sdf_state = post_step_host(self.sdf_state, self.opt_config, self.sdf_tx)
         return metrics
 
+    # ------------------------------------------------------------- serving
+    def render_camera_outputs(
+        self,
+        dataset: ImageDataset,
+        cam_index: int,
+        key: jax.Array,
+        spp: int = 64,
+    ) -> dict:
+        """Novel-view render (reference render_camera_outputs,
+        mitsuba_sdf.py:1042-1080): SDF renderer with the NeRF emitter when
+        the takeover has begun, plain NeRF render otherwise."""
+        cams = dataset.cameras
+        if self.sdf_state is None:
+            out = self.render_fn(
+                self.nerf_state.params, cams, jnp.int32(cam_index),
+                cams.height, cams.width,
+            )
+            return out
+        from ..renderer.integrator import render_spp
+        from ..renderer.sensors import camera_rays_in_render_space
+
+        o, d = camera_rays_in_render_space(
+            cams, jnp.int32(cam_index), cams.height, cams.width,
+            self.config.scene_scale,
+        )
+        emitter_fn = self._emitter_fn_of(self.nerf_state.params)
+        out = render_spp(
+            self.sdf_state.scene, o, d, key, spp,
+            emitter_fn=emitter_fn, config=self.render_config,
+        )
+        h, w = cams.height, cams.width
+        return {
+            "rgb": out["rgb"].reshape(h, w, 3),
+            "depth": out["depth"].reshape(h, w, 1),
+            "accumulation": out["soft_mask"].reshape(h, w, 1),
+        }
+
+    def get_average_eval_image_metrics(
+        self, dataset: ImageDataset, key: jax.Array, spp: int = 64,
+        get_std: bool = False,
+    ) -> dict:
+        """Averaged PSNR/SSIM/MAPE over an eval split (reference
+        get_average_eval_image_metrics override, mitsuba_sdf.py:1235-1318)."""
+        from ..engine.train_loop import eval_image_metrics
+
+        all_m: dict[str, list] = {}
+        for i in range(dataset.images.shape[0]):
+            key, k = jax.random.split(key)
+            out = self.render_camera_outputs(dataset, i, k, spp=spp)
+            m = eval_image_metrics(out["rgb"], dataset.images[i], is_hdr=dataset.is_hdr)
+            for name, v in m.items():
+                all_m.setdefault(name, []).append(float(jnp.asarray(v)))
+        result = {name: float(jnp.mean(jnp.asarray(v))) for name, v in all_m.items()}
+        if get_std:
+            result.update(
+                {
+                    f"{name}_std": float(jnp.std(jnp.asarray(v)))
+                    for name, v in all_m.items()
+                }
+            )
+        return result
+
     # ----------------------------------------------------------- top level
     def train_iteration(self, step: int, key: jax.Array):
         """One training step of the two-phase schedule (reference

@@ -120,13 +120,20 @@ def make_sdf_train_step(
             out = render_one(scene, cameras, cam_idx, k)
             pred = out["rgb"].reshape(h, w, 3)
             view_loss = loss_fn_rgb(pred, gt)
-            hit = out["hit"].reshape(h, w, 1).astype(jnp.float32)
-            mask_loss = jnp.mean((hit - mask) ** 2)
+            # differentiable silhouette loss (soft visibility carries the
+            # boundary gradient the hard hit mask lacks)
+            soft = out["soft_mask"].reshape(h, w, 1)
+            mask_loss = jnp.mean((soft - mask) ** 2)
             # curvature regularizer (2 spp render of |Laplacian| at hits)
             o, d = camera_rays_in_render_space(
                 cameras, cam_idx, h, w, takeover.scene_scale, key=k
             )
-            curv = jnp.mean(render_curvature(scene, o, d, render_config))
+            curv = jnp.mean(
+                render_curvature(
+                    scene, o, d, render_config,
+                    curvature_epsilon=opt_config.curvature_epsilon,
+                )
+            )
             return view_loss, mask_loss, curv
 
         view_l, mask_l, curv_l = jax.lax.map(

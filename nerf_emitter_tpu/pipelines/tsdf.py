@@ -94,16 +94,28 @@ def integrate_tsdf(
         tsdf_obs = jnp.clip(sdf_obs / truncation, -1.0, 1.0)
         num = jnp.sum(tsdf_obs * w_obs, axis=0)
         den = jnp.sum(w_obs, axis=0)
-        return num, den
+        # deep-interior evidence: observed but beyond the truncation band
+        behind = jnp.sum(
+            (inside & (sdf_obs <= -truncation)).astype(jnp.float32), axis=0
+        )
+        return num, den, behind
 
-    nums, dens = [], []
+    nums, dens, behinds = [], [], []
     for start in range(0, vox_world.shape[0], chunk):
-        n_, d_ = jax.jit(fuse_chunk)(vox_world[start : start + chunk])
+        n_, d_, b_ = jax.jit(fuse_chunk)(vox_world[start : start + chunk])
         nums.append(n_)
         dens.append(d_)
+        behinds.append(b_)
     num = jnp.concatenate(nums)
     den = jnp.concatenate(dens)
-    tsdf = jnp.where(den > 0, num / jnp.maximum(den, 1e-6), 1.0)
+    behind = jnp.concatenate(behinds)
+    # observed band -> averaged tsdf; unobserved: behind some view -> solid
+    # (-1), never seen -> free (+1). Redistancing turns this into distances.
+    tsdf = jnp.where(
+        den > 0,
+        num / jnp.maximum(den, 1e-6),
+        jnp.where(behind > 0, -1.0, 1.0),
+    )
     # scale back to unit-cube distances
     return (tsdf * truncation / (2.0 * scene_scale)).reshape(res, res, res, 1)
 

@@ -35,7 +35,14 @@ from .bsdf import (
 )
 from .grid3d import grid_sample, sdf_normal
 from .scene import DIFFUSE, SdfScene
-from .sphere_trace import SphereTraceConfig, sphere_trace, trace_hit_point
+from .sphere_trace import (
+    SphereTraceConfig,
+    differentiable_hit_t,
+    soft_visibility,
+    sphere_trace,
+    sphere_trace_with_closest,
+    trace_hit_point,
+)
 
 EmitterFn = Callable[[jax.Array, jax.Array], jax.Array]  # (x, d) -> rgb
 
@@ -46,6 +53,7 @@ class RenderConfig:
     shadow_eps: float = 2e-3  # offset along normal for secondary rays
     use_visibility: bool = True  # trace shadow rays (integrator attr)
     guiding_mis_compensation: bool = True
+    soft_beta: float = 0.01  # softness of the differentiable silhouette
 
 
 def _bsdf_eval(scene: SdfScene, x, n, wi, wo):
@@ -116,8 +124,15 @@ def render_direct(
             return scene.envmap.eval(d)
         return jnp.zeros((*d.shape[:-1], 3))
 
-    # ---- primary intersection (differentiable)
-    x, t, hit = trace_hit_point(scene.sdf, origins, directions, config.trace)
+    # ---- primary intersection (differentiable) + soft silhouette
+    t_star, hit, t_closest = sphere_trace_with_closest(
+        scene.sdf, origins, directions, config.trace
+    )
+    t = differentiable_hit_t(scene.sdf, origins, directions, t_star)
+    x = origins + t[:, None] * directions
+    soft_mask = soft_visibility(
+        scene.sdf, origins, directions, t_closest, hit, beta=config.soft_beta
+    )
     n = sdf_normal(scene.sdf, x)
     # flip normal toward the viewer
     n = jnp.where(jnp.sum(n * directions, axis=-1, keepdims=True) > 0, -n, n)
@@ -166,6 +181,7 @@ def render_direct(
     return {
         "rgb": rgb,
         "hit": hit,
+        "soft_mask": soft_mask,
         "depth": jnp.where(hit, t, 0.0),
         "normal": jnp.where(hit[:, None], n, 0.0),
     }
@@ -202,6 +218,7 @@ def render_spp(
     return {
         "rgb": rgb,
         "hit": outs["hit"][0],
+        "soft_mask": outs["soft_mask"][0],
         "depth": outs["depth"][0],
         "normal": outs["normal"][0],
     }

@@ -164,6 +164,7 @@ class SdfOptConfig:
     render_upsample_iter: tuple[int, ...] = (64, 128, 192)
     curvature_mult: float = 0.05
     curvature_spp: int = 2
+    curvature_epsilon: float = 5e-3
     n_steps: int = 320
 
 

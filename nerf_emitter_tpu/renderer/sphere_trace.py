@@ -72,22 +72,92 @@ def sphere_trace(
     inactive = t0 >= t_exit
 
     def body(_, carry):
-        t, done = carry
+        t, done, f_min, t_min = carry
         p = o + t[:, None] * d
         f = sdf_eval(sdf_c, p)
+        closer = f < f_min
+        f_min = jnp.where(closer, f, f_min)
+        t_min = jnp.where(closer, t, t_min)
         hit_now = jnp.abs(f) < config.hit_eps
         done_new = done | hit_now | (t > t_exit)
         step = config.step_scale * f
         t_new = jnp.where(done_new, t, t + step)
-        return t_new, done_new
+        return t_new, done_new, f_min, t_min
 
-    t, done = jax.lax.fori_loop(
-        0, config.max_steps, body, (t0, inactive)
+    t, done, f_min, t_min = jax.lax.fori_loop(
+        0,
+        config.max_steps,
+        body,
+        (t0, inactive, jnp.full_like(t0, 1e9), t0),
     )
     p = o + t[:, None] * d
     f = sdf_eval(sdf_c, p)
     hit = (jnp.abs(f) < config.hit_eps * 4.0) & (t <= t_exit) & ~inactive
     return t, hit
+
+
+def sphere_trace_with_closest(
+    sdf: jax.Array,
+    origins: jax.Array,
+    directions: jax.Array,
+    config: SphereTraceConfig = SphereTraceConfig(),
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Like sphere_trace but also returns t_closest, the distance of the
+    closest approach to the surface (argmin of f along the march) — used for
+    differentiable soft visibility/silhouettes."""
+    o = jax.lax.stop_gradient(origins)
+    d = jax.lax.stop_gradient(directions)
+    sdf_c = jax.lax.stop_gradient(sdf)
+
+    t_enter, t_exit = _ray_box_span(o, d, config.bbox_min, config.bbox_max)
+    t_exit = jnp.minimum(t_exit, config.t_max)
+    inactive = t_enter >= t_exit
+
+    def body(_, carry):
+        t, done, f_min, t_min = carry
+        p = o + t[:, None] * d
+        f = sdf_eval(sdf_c, p)
+        closer = f < f_min
+        f_min = jnp.where(closer, f, f_min)
+        t_min = jnp.where(closer, t, t_min)
+        hit_now = jnp.abs(f) < config.hit_eps
+        done_new = done | hit_now | (t > t_exit)
+        t_new = jnp.where(done_new, t, t + config.step_scale * f)
+        return t_new, done_new, f_min, t_min
+
+    t, done, f_min, t_min = jax.lax.fori_loop(
+        0,
+        config.max_steps,
+        body,
+        (t_enter, inactive, jnp.full_like(t_enter, 1e9), t_enter),
+    )
+    p = o + t[:, None] * d
+    f = sdf_eval(sdf_c, p)
+    hit = (jnp.abs(f) < config.hit_eps * 4.0) & (t <= t_exit) & ~inactive
+    return t, hit, t_min
+
+
+def soft_visibility(
+    sdf: jax.Array,
+    origins: jax.Array,
+    directions: jax.Array,
+    t_closest: jax.Array,
+    hit: jax.Array,
+    beta: float = 0.01,
+) -> jax.Array:
+    """Differentiable silhouette indicator in [0, 1].
+
+    Hit rays -> 1. Miss rays -> sigmoid(-f(x_closest)/beta), where f is
+    evaluated differentiably at the DETACHED closest-approach point
+    (envelope theorem: dt_closest terms vanish at the argmin). Raising the
+    surface (f down) raises the indicator — the boundary gradient the hard
+    `hit` mask lacks. Stand-in for the warp-field reparameterization's
+    boundary term (Vicini et al. 2022) on the silhouette integral.
+    """
+    x = origins + jax.lax.stop_gradient(t_closest)[:, None] * directions
+    f_close = sdf_eval(sdf, x)
+    soft = jax.nn.sigmoid(-f_close / beta)
+    return jnp.where(hit, 1.0, soft)
 
 
 def differentiable_hit_t(

@@ -1,0 +1,154 @@
+"""Synthetic dataset generator: render an SDF object inside an HDR
+environment with the framework's own renderer.
+
+Re-design of nerfstudio/scripts/gen_data.py (:45-385): the reference
+Mitsuba-renders an object into an environment scene (path/direct
+integrator, spp 16384), over random or spiral camera paths with optional
+per-frame light rotations, exporting transforms.json + envmap GT. Here the
+direct-illumination SDF renderer produces the images; objects come from an
+SDF volume (.npy), a built-in primitive, or a mesh converted via
+convert_mesh_to_sdf.
+
+  python -m nerf_emitter_tpu.scripts.gen_data \
+      --object sphere --envmap env.exr --n-views 100 --out data/sphere
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def _procedural_envmap(h=256, w=512) -> np.ndarray:
+    """A default HDR environment: sun lobe + sky gradient."""
+    ys = (np.arange(h) + 0.5) / h * np.pi
+    xs = ((np.arange(w) + 0.5) / w - 0.5) * 2 * np.pi
+    theta, phi = np.meshgrid(ys, xs, indexing="ij")
+    d = np.stack(
+        [np.sin(theta) * np.sin(phi), np.cos(theta), -np.sin(theta) * np.cos(phi)],
+        -1,
+    )
+    sun = np.array([0.4, 0.8, 0.45]) / np.linalg.norm([0.4, 0.8, 0.45])
+    cos = np.clip(d @ sun, 0, None)
+    lobe = 20.0 * cos**64
+    sky = 0.4 + 0.6 * np.clip(d[..., 1], 0, None)
+    img = np.stack(
+        [lobe + 0.9 * sky, lobe * 0.95 + 0.95 * sky, lobe * 0.85 + 1.1 * sky], -1
+    )
+    return img.astype(np.float32)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="gen_data")
+    ap.add_argument("--object", type=str, default="sphere",
+                    help="'sphere' | 'box' | path to .npy SDF volume")
+    ap.add_argument("--envmap", type=Path, default=None)
+    ap.add_argument("--n-views", type=int, default=100)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--spp", type=int, default=64)
+    ap.add_argument("--radius", type=float, default=2.4)
+    ap.add_argument("--n-rotations", type=int, default=1,
+                    help="turntable light rotations (per-frame rotation tags)")
+    ap.add_argument("--path-type", choices=["random", "spiral"], default="random")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", type=Path, required=True)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..cameras.cameras import Cameras
+    from ..data.synthetic import look_at
+    from ..renderer.emitters import EnvmapEmitter
+    from ..renderer.grid3d import box_sdf_grid, sphere_sdf_grid
+    from ..renderer.integrator import RenderConfig, render_spp
+    from ..renderer.scene import SdfScene
+    from ..renderer.sensors import camera_rays_in_render_space
+    from ..utils import exr
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+
+    # environment
+    if args.envmap is not None:
+        img = (
+            np.load(args.envmap)
+            if args.envmap.suffix == ".npy"
+            else exr.read_exr(args.envmap)
+        )
+    else:
+        img = _procedural_envmap()
+    env = EnvmapEmitter.create(jnp.asarray(img[..., :3]))
+    exr.write_exr(out / "env.exr", img[..., :3])
+
+    # object
+    if args.object == "sphere":
+        sdf = sphere_sdf_grid(129, radius=0.22)
+    elif args.object == "box":
+        sdf = box_sdf_grid(129, half_extent=0.18)
+    else:
+        sdf = jnp.asarray(np.load(args.object))
+        if sdf.ndim == 3:
+            sdf = sdf[..., None]
+    scene = SdfScene.create(sdf_res=int(sdf.shape[0]), tex_res=32, envmap=env,
+                            init_albedo=0.6)
+    scene = scene.replace(sdf=sdf)
+
+    scene_scale = 1.0  # world [-1,1]; cameras scaled by dataparser later
+    focal = 0.5 * args.width / np.tan(0.35)
+    h, w = args.height, args.width
+    frames = []
+    key = jax.random.PRNGKey(args.seed)
+
+    for i in range(args.n_views):
+        if args.path_type == "spiral":
+            th = 4 * np.pi * i / args.n_views
+            ph = 0.15 + 0.9 * i / args.n_views
+        else:
+            th = rng.uniform(0, 2 * np.pi)
+            ph = rng.uniform(0.1, 1.2)
+        eye = args.radius * np.array(
+            [np.cos(th) * np.cos(ph), np.sin(ph), np.sin(th) * np.cos(ph)]
+        )
+        c2w = look_at(eye.astype(np.float32), np.zeros(3))
+        cams = Cameras(
+            camera_to_worlds=jnp.asarray(c2w[None, :3]),
+            fx=jnp.full((1,), focal), fy=jnp.full((1,), focal),
+            cx=jnp.full((1,), w / 2), cy=jnp.full((1,), h / 2),
+            width=w, height=h,
+        )
+        o, d = camera_rays_in_render_space(cams, jnp.int32(0), h, w, scene_scale)
+        key, k = jax.random.split(key)
+        res = render_spp(scene, o, d, k, args.spp, config=RenderConfig())
+        rgb = np.asarray(res["rgb"]).reshape(h, w, 3)
+        mask = np.asarray(res["hit"]).reshape(h, w, 1).astype(np.float32)
+        name = f"r_{i:04d}.exr"
+        exr.write_exr(out / name, np.concatenate([rgb, mask], -1))
+        frames.append(
+            {
+                "file_path": name,
+                "transform_matrix": c2w.tolist(),
+                "rotation": int(i % args.n_rotations),
+            }
+        )
+        if i % 10 == 0:
+            print(f"rendered {i}/{args.n_views}", flush=True)
+
+    meta = {
+        "fl_x": focal, "fl_y": focal, "w": w, "h": h,
+        "cx": w / 2, "cy": h / 2,
+        "envmap": "env.exr",
+        "frames": frames,
+    }
+    with open(out / "transforms.json", "w") as f:
+        json.dump(meta, f, indent=1)
+    print(f"dataset written to {out}")
+
+
+if __name__ == "__main__":
+    main()

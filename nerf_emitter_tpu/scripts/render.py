@@ -1,0 +1,190 @@
+"""Render CLI: novel views, relighting videos, envmap probes.
+
+Re-design of nerfstudio/scripts/render.py (833 LoC of subcommands):
+- `eval`: render the eval split via the full pipeline (SDF + NeRF emitter)
+  to EXR/PNG (reference EvalRender, :562-670)
+- `rotate-light`: relight frames while rotating the emitter about the
+  object (reference RotateLightRender, :673-713) — here the rotation is a
+  Rotater transform applied to the emitter-query directions
+- `envmap`: render the NeRF into an equirect environment probe at a point
+  (the spherical_sensor path used for envmap export)
+- `camera-path`: render an interpolated orbit of novel views
+
+  python -m nerf_emitter_tpu.scripts.render eval \
+      --load-config outputs/lego/sdf-nerfacto/config.json --spp 64
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _load(args):
+    from ..configs.cli import load_config
+    from ..engine.trainer import Trainer
+
+    config = load_config(args.load_config)
+    trainer = Trainer(config)
+    trainer.setup()
+    try:
+        trainer.load_checkpoint(getattr(args, "checkpoint_step", None))
+    except FileNotFoundError:
+        print("warning: no checkpoint found; rendering fresh init")
+    return trainer
+
+
+def _save_image(path: Path, rgb: np.ndarray, is_hdr: bool):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    if is_hdr:
+        from ..utils import exr
+
+        exr.write_exr(path.with_suffix(".exr"), rgb)
+    else:
+        from PIL import Image
+
+        from ..utils.math import linear_to_srgb
+
+        arr = np.asarray(linear_to_srgb(jnp.asarray(rgb))) * 255
+        Image.fromarray(arr.astype(np.uint8)).save(path.with_suffix(".png"))
+
+
+def cmd_eval(args):
+    trainer = _load(args)
+    ds = trainer.eval_dataset or trainer.dataset
+    key = jax.random.PRNGKey(0)
+    out_dir = Path(args.output_path)
+    for i in range(ds.images.shape[0]):
+        key, k = jax.random.split(key)
+        out = trainer.pipeline.render_camera_outputs(ds, i, k, spp=args.spp)
+        _save_image(out_dir / f"render_{i:04d}", np.asarray(out["rgb"]), ds.is_hdr)
+        _save_image(out_dir / f"gt_{i:04d}", np.asarray(ds.images[i]), ds.is_hdr)
+    print(f"wrote {ds.images.shape[0]} renders to {out_dir}")
+
+
+def cmd_rotate_light(args):
+    """Relight video: keep camera fixed, rotate the emitter around +y
+    (reference set_light_axis_angle, mitsuba_sdf.py:1230-1233)."""
+    trainer = _load(args)
+    pipeline = trainer.pipeline
+    assert pipeline.sdf_state is not None, "rotate-light needs an SDF checkpoint"
+    ds = trainer.dataset
+    cams = ds.cameras
+    from ..renderer.integrator import render_spp
+    from ..renderer.sensors import camera_rays_in_render_space
+
+    base_emitter = pipeline._emitter_fn_of(pipeline.nerf_state.params)
+    out_dir = Path(args.output_path)
+    key = jax.random.PRNGKey(0)
+    for fi in range(args.n_frames):
+        angle = 2.0 * np.pi * fi / args.n_frames
+        c, s = np.cos(angle), np.sin(angle)
+        rot = jnp.asarray(
+            [[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]], jnp.float32
+        )
+        center = jnp.asarray([0.5, 0.5, 0.5])
+
+        def rotated_emitter(x, d, rot=rot):
+            # rotate emitter-query rays about the object center
+            x_r = (x - center) @ rot.T + center
+            return base_emitter(x_r, d @ rot.T)
+
+        o, d = camera_rays_in_render_space(
+            cams, jnp.int32(args.camera_index), cams.height, cams.width,
+            pipeline.config.scene_scale,
+        )
+        key, k = jax.random.split(key)
+        out = render_spp(
+            pipeline.sdf_state.scene, o, d, k, args.spp,
+            emitter_fn=rotated_emitter, config=pipeline.render_config,
+        )
+        rgb = np.asarray(out["rgb"]).reshape(cams.height, cams.width, 3)
+        _save_image(out_dir / f"frame_{fi:04d}", rgb, ds.is_hdr)
+    print(f"wrote {args.n_frames} relit frames to {out_dir}")
+
+
+def cmd_envmap(args):
+    """Render the NeRF into an equirect probe (spherical sensor)."""
+    trainer = _load(args)
+    pipeline = trainer.pipeline
+    from ..cameras.cameras import make_spherical_rig
+    from ..engine.train_loop import make_render_fn
+
+    rig = make_spherical_rig(
+        jnp.asarray([args.cx, args.cy, args.cz]), width=args.width,
+        height=args.height,
+    )
+    render = make_render_fn(pipeline.model, pipeline.train_config, chunk=4096)
+    out = render(
+        pipeline.nerf_state.params, rig, jnp.int32(0), args.height, args.width
+    )
+    _save_image(Path(args.output_path) / "envmap", np.asarray(out["rgb"]), True)
+    print("wrote envmap probe")
+
+
+def cmd_camera_path(args):
+    """Orbit of interpolated novel views around the scene center."""
+    trainer = _load(args)
+    ds = trainer.dataset
+    from ..cameras.cameras import Cameras
+    from ..data.synthetic import look_at
+
+    r = float(np.linalg.norm(np.asarray(ds.cameras.camera_to_worlds[0, :3, 3])))
+    c2ws = []
+    for i in range(args.n_frames):
+        th = 2 * np.pi * i / args.n_frames
+        eye = r * np.array([np.cos(th), 0.4, np.sin(th)], np.float32)
+        c2ws.append(look_at(eye, np.zeros(3))[:3])
+    n = args.n_frames
+    cams = Cameras(
+        camera_to_worlds=jnp.asarray(np.stack(c2ws)),
+        fx=jnp.full((n,), float(ds.cameras.fx[0])),
+        fy=jnp.full((n,), float(ds.cameras.fy[0])),
+        cx=jnp.full((n,), float(ds.cameras.cx[0])),
+        cy=jnp.full((n,), float(ds.cameras.cy[0])),
+        width=ds.cameras.width, height=ds.cameras.height,
+    )
+    from ..data.datamanager import ImageDataset
+
+    path_ds = ImageDataset(cameras=cams, images=ds.images[:1], is_hdr=ds.is_hdr)
+    key = jax.random.PRNGKey(0)
+    out_dir = Path(args.output_path)
+    for i in range(n):
+        key, k = jax.random.split(key)
+        out = trainer.pipeline.render_camera_outputs(path_ds, i, k, spp=args.spp)
+        _save_image(out_dir / f"path_{i:04d}", np.asarray(out["rgb"]), ds.is_hdr)
+    print(f"wrote {n} path frames to {out_dir}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="render")
+    subs = ap.add_subparsers(dest="cmd", required=True)
+    for name, fn in [
+        ("eval", cmd_eval),
+        ("rotate-light", cmd_rotate_light),
+        ("envmap", cmd_envmap),
+        ("camera-path", cmd_camera_path),
+    ]:
+        sub = subs.add_parser(name)
+        sub.add_argument("--load-config", type=Path, required=True)
+        sub.add_argument("--output-path", type=Path, default=Path("renders"))
+        sub.add_argument("--spp", type=int, default=64)
+        sub.add_argument("--checkpoint-step", type=int, default=None)
+        sub.add_argument("--camera-index", type=int, default=0)
+        sub.add_argument("--n-frames", type=int, default=60)
+        sub.add_argument("--width", type=int, default=1024)
+        sub.add_argument("--height", type=int, default=512)
+        sub.add_argument("--cx", type=float, default=0.5)
+        sub.add_argument("--cy", type=float, default=0.5)
+        sub.add_argument("--cz", type=float, default=0.5)
+        sub.set_defaults(fn=fn)
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

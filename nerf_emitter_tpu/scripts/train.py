@@ -1,0 +1,68 @@
+"""Train CLI: `python -m nerf_emitter_tpu.scripts.train <method> [--flags]`.
+
+Re-design of nerfstudio/scripts/train.py: the tyro method-union CLI
+(train.py:259-268) becomes argparse subcommands over METHOD_CONFIGS; the
+mp.spawn-per-GPU + NCCL rendezvous (train.py:105-226) is gone — one
+process, one SPMD program, multi-chip via the device mesh.
+
+Example (mirrors the reference run scripts):
+  python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
+      --datacfg.data /path/to/scene --experiment-name lego
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..configs.cli import add_dataclass_args, dataclass_from_args
+from ..configs.methods import (
+    METHOD_CONFIGS,
+    METHOD_DESCRIPTIONS,
+    ExperimentConfig,
+    get_method_config,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="train", description="TPU-native NeRF-emitter training"
+    )
+    subs = parser.add_subparsers(dest="method", required=True)
+    for name in METHOD_CONFIGS:
+        sub = subs.add_parser(name, help=METHOD_DESCRIPTIONS.get(name, ""))
+        defaults = get_method_config(name)
+        add_dataclass_args(sub, ExperimentConfig)
+        sub.set_defaults(**_flatten_defaults(defaults))
+    return parser
+
+
+def _flatten_defaults(cfg, prefix: str = "") -> dict:
+    import dataclasses
+
+    out = {}
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        name = f"{prefix}{f.name}"
+        if dataclasses.is_dataclass(v) and not isinstance(v, type):
+            out.update(_flatten_defaults(v, prefix=f"{name}."))
+        else:
+            out[name] = v
+    return out
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    config = dataclass_from_args(ExperimentConfig, args)
+    config.method_name = args.method
+
+    from ..engine.trainer import Trainer
+
+    trainer = Trainer(config)
+    trainer.setup()
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
