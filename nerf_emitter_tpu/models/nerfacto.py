@@ -48,8 +48,17 @@ class NerfactoModel(nn.Module):
     proposal_initial_sampler: str = "piecewise"  # or "uniform"
     single_jitter: bool = True
     depth_method: str = "median"
+    implementation: str = "hash"  # 'hash' (parity) | 'freq' (MXU flagship)
+    optimize_camera_poses: bool = False  # SO3xR3 per-camera correction
 
     def setup(self):
+        if self.optimize_camera_poses:
+            # reference cameras/camera_optimizers.py SO3xR3 mode; also backs
+            # the per-rotation `rotation_optimizer` (rotater deltas)
+            self.camera_opt_deltas = self.param(
+                "camera_opt_deltas",
+                lambda k: jnp.zeros((self.num_cameras, 6)),
+            )
         self.field = NerfactoField(
             aabb=self.aabb,
             hdr=self.hdr,
@@ -59,6 +68,7 @@ class NerfactoModel(nn.Module):
             log2_hashmap_size=self.log2_hashmap_size,
             max_res=self.max_res,
             use_fake_contraction=self.use_fake_contraction,
+            implementation=self.implementation,
             name="field",
         )
         # two proposal levels, coarse->fine max_res (reference method_configs)
@@ -66,11 +76,15 @@ class NerfactoModel(nn.Module):
             HashMLPDensityField(
                 aabb=self.aabb, max_res=64, log2_hashmap_size=17,
                 use_fake_contraction=self.use_fake_contraction,
+                implementation=self.implementation,
+                freq_num_frequencies=4,
                 name="proposal_0",
             ),
             HashMLPDensityField(
                 aabb=self.aabb, max_res=256, log2_hashmap_size=17,
                 use_fake_contraction=self.use_fake_contraction,
+                implementation=self.implementation,
+                freq_num_frequencies=6,
                 name="proposal_1",
             ),
         ]
@@ -88,6 +102,16 @@ class NerfactoModel(nn.Module):
         hdr_radiance_only: bool = False,
     ) -> dict[str, Any]:
         """rays (n, ...) -> outputs dict. Differentiable end to end."""
+        if self.optimize_camera_poses and ray_bundle.camera_indices is not None:
+            from ..fields.rotater import exp_so3
+
+            d6 = self.camera_opt_deltas[ray_bundle.camera_indices[..., 0]]
+            rot = jax.vmap(exp_so3)(d6[..., :3])
+            ray_bundle = ray_bundle.replace(
+                origins=jnp.einsum("nij,nj->ni", rot, ray_bundle.origins)
+                + d6[..., 3:],
+                directions=jnp.einsum("nij,nj->ni", rot, ray_bundle.directions),
+            )
         density_fns = [
             lambda pos, cam, net=net: net(
                 pos, disable_aabb=disable_aabb, disable_aabb_on=disable_aabb_on

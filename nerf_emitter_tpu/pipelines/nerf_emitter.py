@@ -119,6 +119,9 @@ class NerfEmitterPipelineConfig:
     batch_size: int = 4  # images per mi step
     spp: int = 32
     takeover_image_size: int = 64
+    sdf_init: str = "tsdf"  # 'tsdf' (from NeRF depth) | 'sphere'
+    env_path: Optional[str] = None  # GT envmap for guiding_type='env'
+    hide_emitters: bool = True
 
 
 class NerfEmitterPipeline:
@@ -231,9 +234,31 @@ class NerfEmitterPipeline:
         )
 
     def begin_takeover(self, key: jax.Array, scene: Optional[SdfScene] = None):
+        use_env = self.config.guiding_type in ("env", "emitter_xml")
         if scene is None:
-            scene = self.tsdf_init()
-        scene = self.build_emitter_proposal(key, scene)
+            if self.config.sdf_init == "tsdf" and not use_env:
+                scene = self.tsdf_init()
+            else:
+                # sdf-gt-envmap path: no NeRF to fuse from — sphere init
+                scene = SdfScene.create(
+                    sdf_res=self.opt_config.init_res,
+                    tex_res=self.opt_config.tex_res,
+                    bsdf_type=self.opt_config.bsdf_type,
+                )
+                scene = scene.replace(hide_emitters=self.config.hide_emitters)
+        if use_env:
+            # GT-envmap emitter doubles as the sampling proposal (reference
+            # EnvironmentGuiding / sdf-gt-envmap, method_configs.py:347-380)
+            from ..guiding.path_guiding import EnvGuiding
+
+            env = EnvGuiding(
+                env_path=self.config.env_path
+            ).build_envmap(getattr(self, "data_dir", "."))
+            scene = scene.replace(envmap=env, guiding=None)
+            emitter_fn = None  # radiance comes from scene.envmap
+        else:
+            scene = self.build_emitter_proposal(key, scene)
+            emitter_fn = self._emitter_fn_of(self.nerf_state.params)
         self.sdf_tx = build_sdf_optimizer(self.opt_config)
         self.sdf_state = SdfOptState(
             step=jnp.int32(0), scene=scene, opt_state=self.sdf_tx.init(scene)
@@ -244,7 +269,7 @@ class NerfEmitterPipeline:
             image_width=self.config.takeover_image_size,
             scene_scale=self.config.scene_scale,
         )
-        emitter_fn = self._emitter_fn_of(self.nerf_state.params)
+        self._serving_emitter_fn = emitter_fn
         self.sdf_step_fn = make_sdf_train_step(
             self.opt_config, takeover, self.sdf_tx,
             emitter_fn=emitter_fn, render_config=self.render_config,
@@ -266,7 +291,8 @@ class NerfEmitterPipeline:
     def takeover_iteration(self, key: jax.Array):
         assert self.sdf_state is not None, "call begin_takeover first"
         mi_step = int(self.sdf_state.step)
-        if self.guiding.should_rebuild(mi_step):
+        use_env = self.config.guiding_type in ("env", "emitter_xml")
+        if not use_env and self.guiding.should_rebuild(mi_step):
             k1, key = jax.random.split(key)
             scene = self.build_emitter_proposal(k1, self.sdf_state.scene)
             self.sdf_state = self.sdf_state.replace(scene=scene)
@@ -314,7 +340,9 @@ class NerfEmitterPipeline:
             cams, jnp.int32(cam_index), cams.height, cams.width,
             self.config.scene_scale,
         )
-        emitter_fn = self._emitter_fn_of(self.nerf_state.params)
+        emitter_fn = getattr(self, "_serving_emitter_fn", None)
+        if emitter_fn is None and self.config.guiding_type == "vmf":
+            emitter_fn = self._emitter_fn_of(self.nerf_state.params)
         out = render_spp(
             self.sdf_state.scene, o, d, key, spp,
             emitter_fn=emitter_fn, config=self.render_config,

@@ -101,9 +101,22 @@ def make_sdf_train_step(
     loss_fn_rgb = L.RGB_LOSSES[opt_config.loss]
     h, w = takeover.image_height, takeover.image_width
 
+    def scaled_cameras(cameras: Cameras) -> Cameras:
+        """Rescale intrinsics to the takeover render resolution."""
+        if cameras.height == h and cameras.width == w:
+            return cameras
+        sy = h / cameras.height
+        sx = w / cameras.width
+        return Cameras(
+            camera_to_worlds=cameras.camera_to_worlds,
+            fx=cameras.fx * sx, fy=cameras.fy * sy,
+            cx=cameras.cx * sx, cy=cameras.cy * sy,
+            width=w, height=h, camera_type=cameras.camera_type,
+        )
+
     def render_one(scene, cameras, cam_idx, key):
         o, d = camera_rays_in_render_space(
-            cameras, cam_idx, h, w, takeover.scene_scale, key=key
+            scaled_cameras(cameras), cam_idx, h, w, takeover.scene_scale, key=key
         )
         out = render_spp(
             scene, o, d, key, takeover.spp,
@@ -117,6 +130,11 @@ def make_sdf_train_step(
 
         def per_image(args):
             cam_idx, gt, mask, k = args
+            # multi-res schedule: GT resampled to the render resolution
+            # (the reference's rescale_train, mitsuba_datamanager.py:137-140)
+            if gt.shape[:2] != (h, w):
+                gt = jax.image.resize(gt, (h, w, 3), "linear")
+                mask = jax.image.resize(mask, (h, w, 1), "linear")
             out = render_one(scene, cameras, cam_idx, k)
             pred = out["rgb"].reshape(h, w, 3)
             view_loss = loss_fn_rgb(pred, gt)
@@ -126,7 +144,8 @@ def make_sdf_train_step(
             mask_loss = jnp.mean((soft - mask) ** 2)
             # curvature regularizer (2 spp render of |Laplacian| at hits)
             o, d = camera_rays_in_render_space(
-                cameras, cam_idx, h, w, takeover.scene_scale, key=k
+                scaled_cameras(cameras), cam_idx, h, w, takeover.scene_scale,
+                key=k,
             )
             curv = jnp.mean(
                 render_curvature(

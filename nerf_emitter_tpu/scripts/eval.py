@@ -57,7 +57,7 @@ def main(argv=None):
         env = EmitterImageGuiding(args.emitter_path).build_envmap()
         scene = pipeline.sdf_state.scene.replace(envmap=env, guiding=None)
         pipeline.sdf_state = pipeline.sdf_state.replace(scene=scene)
-        pipeline._emitter_fn_of = lambda params: None  # use scene envmap
+        pipeline._serving_emitter_fn = None  # radiance from scene envmap
 
     ds = trainer.eval_dataset or trainer.dataset
     metrics = pipeline.get_average_eval_image_metrics(

@@ -1,0 +1,154 @@
+"""Integration tests of the two-phase pipeline: NeRF pretrain -> takeover
+with the NeRF-as-emitter bridge (sdf-nerfacto) and the env-guiding baseline
+(sdf-gt-envmap), at tiny scale — the reference's 2-iteration smoke-train
+pattern (tests/test_train.py there)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nerf_emitter_tpu.data.datamanager import build_dataset
+from nerf_emitter_tpu.data.dataparsers.instant_ngp import (
+    InstantNGPDataparserConfig,
+    parse_instant_ngp,
+)
+from nerf_emitter_tpu.data.synthetic import make_synthetic_dataset
+from nerf_emitter_tpu.engine.train_loop import TrainConfig
+from nerf_emitter_tpu.models.nerfacto import NerfactoModel
+from nerf_emitter_tpu.pipelines.nerf_emitter import (
+    NerfEmitterPipeline,
+    NerfEmitterPipelineConfig,
+    make_nerf_emitter_fn,
+)
+from nerf_emitter_tpu.renderer.integrator import RenderConfig
+from nerf_emitter_tpu.renderer.optimize import SdfOptConfig, VariableSpec
+from nerf_emitter_tpu.renderer.sphere_trace import SphereTraceConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("scene")
+    make_synthetic_dataset(d, n_views=6, width=24, height=24)
+    cfg = InstantNGPDataparserConfig(data=d, eval_mode="all")
+    dataset = build_dataset(parse_instant_ngp(cfg, "train"))
+
+    model = NerfactoModel(
+        aabb=((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)),
+        num_nerf_samples=8,
+        num_proposal_samples=(12, 8),
+        log2_hashmap_size=12,
+        max_res=128,
+        num_cameras=6,
+        appearance_embedding_dim=4,
+    )
+    train_cfg = TrainConfig(
+        num_rays_per_batch=128, near=0.05, far=3.0, max_steps=20, anneal_steps=5
+    )
+    opt_cfg = SdfOptConfig(
+        name="tiny",
+        bsdf_type=0,
+        loss="relative_l1",
+        variables=(
+            VariableSpec("sdf", lr=3e-3, redistance_freq=0),
+            VariableSpec("albedo", lr=1e-2, clamp=(0.0, 1.0)),
+            VariableSpec("roughness", lr=0.0, clamp=(0.02, 1.0)),
+        ),
+        init_res=17,
+        tex_res=4,
+        render_upsample_iter=(),
+        curvature_mult=0.0,
+    )
+    return dataset, model, train_cfg, opt_cfg
+
+
+def _pipe_config(**kw):
+    base = dict(
+        takeover_step=3,
+        mi_opt_steps=2,
+        scene_scale=1.0,
+        object_aabb=((-0.3, -0.3, -0.3), (0.3, 0.3, 0.3)),
+        proposal_rebuild_every=10,
+        tsdf_init_res=24,
+        tsdf_depth_downscale=2,
+        batch_size=2,
+        spp=2,
+        takeover_image_size=16,
+    )
+    base.update(kw)
+    return NerfEmitterPipelineConfig(**base)
+
+
+def test_nerf_emitter_fn_escaped_rays(tiny_setup):
+    dataset, model, train_cfg, opt_cfg = tiny_setup
+    rays = dataset.cameras.generate_rays(
+        jnp.zeros((4,), jnp.int32), jnp.zeros((4, 2), jnp.int32),
+        nears=0.05, fars=3.0,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), rays)
+    aabb = jnp.asarray([[-0.3, -0.3, -0.3], [0.3, 0.3, 0.3]])
+    fn = make_nerf_emitter_fn(model, 1.0, aabb)(params)
+    x = jnp.full((8, 3), 0.5)  # render-space points at the cube center
+    d = jax.random.normal(jax.random.PRNGKey(1), (8, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rgb = fn(x, d)
+    assert rgb.shape == (8, 3)
+    assert bool(jnp.all(jnp.isfinite(rgb))) and bool(jnp.all(rgb >= 0))
+
+    # gradient flows to query rays (the emitter backward of the reference)
+    g = jax.grad(lambda xx: jnp.sum(fn(xx, d)))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_two_phase_sdf_nerfacto(tiny_setup):
+    dataset, model, train_cfg, opt_cfg = tiny_setup
+    pipe = NerfEmitterPipeline(
+        _pipe_config(guiding_type="vmf"),
+        model, train_cfg, opt_cfg, dataset,
+        render_config=RenderConfig(trace=SphereTraceConfig(max_steps=16, t_max=3.0)),
+    )
+    pipe.guiding.downscale = 8
+    pipe.guiding.n_clusters = 4
+    pipe.guiding.max_points = 256
+    key = jax.random.PRNGKey(0)
+    metrics = []
+    for step in range(5):  # 3 nerf + 2 takeover
+        key, k = jax.random.split(key)
+        metrics.append(pipe.train_iteration(step, k))
+    assert pipe.sdf_state is not None
+    assert int(pipe.sdf_state.step) == 2
+    for m in metrics:
+        assert np.isfinite(float(m["loss"])), m
+    # guiding mixture loaded
+    assert pipe.sdf_state.scene.guiding is not None
+    assert pipe.sdf_state.scene.guiding.positions.shape[1] == 3
+
+    # serving path
+    out = pipe.render_camera_outputs(dataset, 0, jax.random.PRNGKey(9), spp=2)
+    assert out["rgb"].shape == (24, 24, 3)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_sdf_gt_envmap_pipeline(tiny_setup, tmp_path):
+    dataset, model, train_cfg, opt_cfg = tiny_setup
+    # GT envmap on disk
+    import numpy as onp
+
+    env = onp.ones((8, 16, 3), onp.float32) * 1.2
+    onp.save(tmp_path / "env.npy", env)
+
+    pipe = NerfEmitterPipeline(
+        _pipe_config(
+            takeover_step=0, guiding_type="env",
+            env_path=str(tmp_path / "env.npy"),
+        ),
+        model, train_cfg, opt_cfg, dataset,
+        render_config=RenderConfig(trace=SphereTraceConfig(max_steps=16, t_max=3.0)),
+    )
+    key = jax.random.PRNGKey(0)
+    for step in range(2):
+        key, k = jax.random.split(key)
+        m = pipe.train_iteration(step, k)
+        assert np.isfinite(float(m["loss"]))
+    assert pipe.sdf_state.scene.envmap is not None
+    assert pipe.sdf_state.scene.guiding is None
