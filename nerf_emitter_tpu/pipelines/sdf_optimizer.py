@@ -95,11 +95,29 @@ def make_sdf_train_step(
     tx: optax.GradientTransformation,
     emitter_fn: Optional[EmitterFn] = None,
     render_config: RenderConfig = RenderConfig(),
+    mesh=None,
+    data_axis: Optional[str] = None,
 ):
     """Returns jitted step(state, cameras, cam_indices, gt_images, gt_masks,
-    key) -> (state, metrics). gt_images: (B, H, W, 3); cam_indices: (B,)."""
+    key) -> (state, metrics). gt_images: (B, H, W, 3); cam_indices: (B,).
+
+    With a mesh + data_axis, the flat pixel-ray batch of every render is
+    sharded over the axis (scene/params replicated) — the reference's
+    pad_scatter/pad_gather ray sharding (SURVEY.md §2.2) as one sharding
+    constraint; XLA all-reduces the scene grads over ICI."""
     loss_fn_rgb = L.RGB_LOSSES[opt_config.loss]
     h, w = takeover.image_height, takeover.image_width
+
+    def shard_rays(o, d):
+        if mesh is None or data_axis is None:
+            return o, d
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s = NamedSharding(mesh, P(data_axis, None))
+        return (
+            jax.lax.with_sharding_constraint(o, s),
+            jax.lax.with_sharding_constraint(d, s),
+        )
 
     def scaled_cameras(cameras: Cameras) -> Cameras:
         """Rescale intrinsics to the takeover render resolution."""
@@ -118,6 +136,7 @@ def make_sdf_train_step(
         o, d = camera_rays_in_render_space(
             scaled_cameras(cameras), cam_idx, h, w, takeover.scene_scale, key=key
         )
+        o, d = shard_rays(o, d)
         out = render_spp(
             scene, o, d, key, takeover.spp,
             emitter_fn=emitter_fn, config=render_config,

@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Real-capture driver (the reference's scripts/real/ours/run.sh): chain
+# hdr-nerfacto pretraining into sdf-nerfacto takeover (the reference resumes
+# via --load-dir/--override-start-step; here the sdf-nerfacto run reuses the
+# hdr checkpoint dir), then export + renders.
+set -euo pipefail
+
+SCENE=${1:?usage: run.sh <scene_dir> [experiment_name]}
+EXP=${2:-$(basename "$SCENE")}
+OUT=outputs
+
+python -m nerf_emitter_tpu.scripts.train hdr-nerfacto \
+  --datacfg.data "$SCENE" \
+  --experiment-name "$EXP" \
+  --output-dir "$OUT"
+
+python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
+  --datacfg.data "$SCENE" \
+  --experiment-name "$EXP" \
+  --output-dir "$OUT"
+
+CONFIG="$OUT/$EXP/sdf-nerfacto/config.json"
+
+python -m nerf_emitter_tpu.scripts.exporter mi-marching-cubes \
+  --load-config "$CONFIG" --resolution 512 \
+  --output-dir "$OUT/$EXP/export"
+
+python -m nerf_emitter_tpu.scripts.render eval \
+  --load-config "$CONFIG" --spp 256 \
+  --output-path "$OUT/$EXP/renders"
