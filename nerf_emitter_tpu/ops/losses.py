@@ -73,15 +73,17 @@ def _outer(t0_starts, t0_ends, t1_starts, t1_ends, y1):
     All shapes (..., S)."""
     cy1 = jnp.concatenate([jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1)
 
-    from .samplers import _searchsorted_right
-
-    idx_lo = jnp.clip(
-        _searchsorted_right(t1_starts, t0_starts) - 1, 0, y1.shape[-1] - 1
+    # gather-free bracketing via masked monotone reductions (see
+    # samplers.sample_pdf for the TPU rationale): cy1 is nondecreasing, so
+    # cy1[idx] values are max-reductions over prefix masks.
+    # cy1_lo = cy1[searchsorted_right(t1_starts, t0_s) - 1]
+    mask_lo = t1_starts[..., None, :] <= t0_starts[..., :, None]  # (.., S0, S1)
+    cy1_lo = jnp.max(
+        jnp.where(mask_lo, cy1[..., None, : t1_starts.shape[-1]], 0.0), axis=-1
     )
-    idx_hi = jnp.clip(_searchsorted_right(t1_ends, t0_ends), 0, y1.shape[-1])
-
-    cy1_lo = jnp.take_along_axis(cy1, idx_lo, axis=-1)
-    cy1_hi = jnp.take_along_axis(cy1, idx_hi, axis=-1)
+    # cy1_hi = cy1[count(t1_ends <= t0_e)]
+    mask_hi = t1_ends[..., None, :] <= t0_ends[..., :, None]
+    cy1_hi = jnp.max(jnp.where(mask_hi, cy1[..., None, 1:], 0.0), axis=-1)
     return cy1_hi - cy1_lo
 
 

@@ -153,18 +153,23 @@ def sample_pdf(
         axis=-1,
     )  # (n_rays, n_bins+1)
 
-    # Batched searchsorted as compare-and-sum: vmapped binary search lowers
-    # to sequential while-loops (~220ms at 16k x 257 on v5e); the O(S*B)
-    # comparison fuses into a single VPU reduction (~1ms) and never
-    # materializes the (N, S, B) mask.
-    inds = _searchsorted_right(cdf, u)
-    below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
-    above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
-
-    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_g0 = jnp.take_along_axis(existing_bins, below, axis=-1)
-    bins_g1 = jnp.take_along_axis(existing_bins, above, axis=-1)
+    # Inverse-CDF lookup WITHOUT gathers. TPU has no gather engine: both a
+    # vmapped binary search (sequential while-loops, ~220ms here) and
+    # take_along_axis (row gathers, ~60ms) are poison. cdf and bins are
+    # monotone in the bin axis, so the bracketing values are masked
+    # max/min reductions over a broadcast compare — pure VPU work that XLA
+    # fuses without materializing the (N, S, B) mask.
+    below_mask = cdf[..., None, :] <= u[..., :, None]  # (N, S, B)
+    neg = jnp.float32(-1e10)
+    pos = jnp.float32(1e10)
+    cdf_g0 = jnp.max(jnp.where(below_mask, cdf[..., None, :], neg), axis=-1)
+    bins_g0 = jnp.max(jnp.where(below_mask, existing_bins[..., None, :], neg), axis=-1)
+    cdf_g1 = jnp.min(jnp.where(below_mask, pos, cdf[..., None, :]), axis=-1)
+    bins_g1 = jnp.min(jnp.where(below_mask, pos, existing_bins[..., None, :]), axis=-1)
+    # edges: u below cdf[0] (impossible: cdf[0]=0<=u) / above cdf[-1]
+    no_above = cdf_g1 >= pos
+    cdf_g1 = jnp.where(no_above, cdf_g0 + 1.0, cdf_g1)
+    bins_g1 = jnp.where(no_above, bins_g0, bins_g1)
 
     t = jnp.clip((u - cdf_g0) / jnp.where(cdf_g1 - cdf_g0 < eps, 1.0, cdf_g1 - cdf_g0), 0.0, 1.0)
     new_bins = bins_g0 + t * (bins_g1 - bins_g0)
