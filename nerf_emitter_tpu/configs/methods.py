@@ -56,6 +56,7 @@ class ExperimentConfig:
     steps_per_save: int = 500
     steps_per_eval_image: int = 500
     seed: int = 42
+    viewer_port: int = 0  # 0 = disabled; else serve the orbit viewer
     opt_config_name: str = "diffuse-12-relativel1-hqq"
     model: ModelSettings = dataclasses.field(default_factory=ModelSettings)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)

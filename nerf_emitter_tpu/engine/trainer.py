@@ -87,14 +87,26 @@ class Trainer:
 
         save_config(cfg, self.run_dir / "config.json")
 
+        self.viewer_state = None
+        if cfg.viewer_port:
+            from ..viewer.server import ViewerState, make_orbit_render_fn, start_viewer
+
+            self.viewer_state = ViewerState(
+                make_orbit_render_fn(self.pipeline, self.dataset)
+            )
+            start_viewer(self.viewer_state, cfg.viewer_port)
+
     @profiler.time_function
-    def train(self):
+    def train(self, start_step: int = 0):
+        """Training loop; start_step > 0 resumes mid-schedule (the
+        reference's --load-dir + --override-start-step chaining used to run
+        hdr-nerfacto -> sdf-nerfacto, scripts/real/ours/run.sh:24-25)."""
         cfg = self.config
         key = jax.random.PRNGKey(cfg.seed)
         t_start = time.time()
         n_rays = cfg.train.num_rays_per_batch
 
-        for step in range(cfg.max_num_iterations):
+        for step in range(start_step, cfg.max_num_iterations):
             key, k = jax.random.split(key)
             with profiler.time_block("train_iteration"):
                 metrics = self.pipeline.train_iteration(step, k)
@@ -108,6 +120,8 @@ class Trainer:
                 self.writer.maybe_print(step, m)
                 self.writer.flush(step)
 
+            if self.viewer_state is not None:
+                self.viewer_state.step = step
             if step > 0 and step % cfg.steps_per_eval_image == 0:
                 self.eval_step(step)
             if step > 0 and step % cfg.steps_per_save == 0:

@@ -160,6 +160,47 @@ def cmd_camera_path(args):
     print(f"wrote {n} path frames to {out_dir}")
 
 
+def cmd_stroke(args):
+    """Stroke -> camera path (reference StrokeToCameraXml,
+    render.py:716-805): unproject a drawn pixel stroke through the rendered
+    depth into 3D, then emit a camera path whose sensors travel along the
+    stroke (for spherical-sensor light probing along a curve)."""
+    import json
+
+    trainer = _load(args)
+    pipeline = trainer.pipeline
+    ds = trainer.dataset
+    cams = ds.cameras
+    with open(args.stroke_path) as f:
+        stroke = json.load(f)  # {"camera_index": i, "pixels": [[y,x], ...]}
+    ci = int(stroke.get("camera_index", args.camera_index))
+
+    out = pipeline.render_camera_outputs(ds, ci, jax.random.PRNGKey(0), spp=args.spp)
+    depth = np.asarray(out["depth"]).reshape(cams.height, cams.width)
+
+    pix = jnp.asarray(stroke["pixels"], jnp.int32)
+    bundle = cams.generate_rays(
+        jnp.full((pix.shape[0],), ci, jnp.int32), pix
+    )
+    d_at = depth[np.asarray(pix[:, 0]), np.asarray(pix[:, 1])]
+    if pipeline.sdf_state is not None:
+        # SDF depth is in render space; convert to world distance
+        d_at = d_at * 2.0 * pipeline.config.scene_scale
+    pts = np.asarray(bundle.origins) + np.asarray(bundle.directions) * d_at[:, None]
+
+    path = {
+        "points": pts.tolist(),
+        "camera_path": [
+            {"position": p.tolist(), "look_at": [0.0, 0.0, 0.0]} for p in pts
+        ],
+    }
+    out_path = Path(args.output_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    with open(out_path.with_suffix(".json"), "w") as f:
+        json.dump(path, f, indent=1)
+    print(f"stroke unprojected to {len(pts)} points -> {out_path.with_suffix('.json')}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="render")
     subs = ap.add_subparsers(dest="cmd", required=True)
@@ -168,6 +209,7 @@ def main(argv=None):
         ("rotate-light", cmd_rotate_light),
         ("envmap", cmd_envmap),
         ("camera-path", cmd_camera_path),
+        ("stroke", cmd_stroke),
     ]:
         sub = subs.add_parser(name)
         sub.add_argument("--load-config", type=Path, required=True)
@@ -181,6 +223,7 @@ def main(argv=None):
         sub.add_argument("--cx", type=float, default=0.5)
         sub.add_argument("--cy", type=float, default=0.5)
         sub.add_argument("--cz", type=float, default=0.5)
+        sub.add_argument("--stroke-path", type=Path, default=Path("stroke.json"))
         sub.set_defaults(fn=fn)
     args = ap.parse_args(argv)
     args.fn(args)

@@ -53,7 +53,18 @@ def _flatten_defaults(cfg, prefix: str = "") -> dict:
 
 def main(argv=None):
     parser = build_parser()
-    args = parser.parse_args(argv)
+    parser_args = argv if argv is not None else sys.argv[1:]
+    # resume flags live outside the dataclass config (reference
+    # --load-dir / --override-start-step)
+    resume = "--resume" in parser_args
+    parser_args = [a for a in parser_args if a != "--resume"]
+    override_start = None
+    if "--override-start-step" in parser_args:
+        i = parser_args.index("--override-start-step")
+        override_start = int(parser_args[i + 1])
+        del parser_args[i : i + 2]
+
+    args = parser.parse_args(parser_args)
     config = dataclass_from_args(ExperimentConfig, args)
     config.method_name = args.method
 
@@ -61,7 +72,16 @@ def main(argv=None):
 
     trainer = Trainer(config)
     trainer.setup()
-    trainer.train()
+    start_step = 0
+    if resume or override_start is not None:
+        try:
+            latest = trainer.ckpt.latest_step()
+            trainer.load_checkpoint(latest)
+            start_step = override_start if override_start is not None else (latest or 0)
+            print(f"resumed from step {latest}, starting at {start_step}")
+        except FileNotFoundError:
+            print("no checkpoint to resume from; starting fresh")
+    trainer.train(start_step=start_step)
 
 
 if __name__ == "__main__":
