@@ -33,6 +33,8 @@ class ModelSettings:
     appearance_embedding_dim: int = 32
     background_color: str = "last_sample"
     use_fake_contraction: bool = True
+    implementation: str = "freq"  # 'freq' (TPU flagship) | 'hash' (parity)
+    optimize_camera_poses: bool = False
 
 
 @dataclasses.dataclass

@@ -72,9 +72,13 @@ class Trainer:
             appearance_embedding_dim=m.appearance_embedding_dim,
             background_color=m.background_color,
             use_fake_contraction=m.use_fake_contraction,
+            implementation=m.implementation,
+            optimize_camera_poses=m.optimize_camera_poses,
         )
         pipe_cfg = cfg.pipeline
-        pipe_cfg.scene_scale = cfg.datacfg.aabb_scale
+        # the SDF render cube should tightly bound the OBJECT (the
+        # reference's padded sdf scene), independent of the NeRF aabb;
+        # scene_scale therefore comes from the pipeline config.
         self.pipeline = NerfEmitterPipeline(
             pipe_cfg,
             self.model,

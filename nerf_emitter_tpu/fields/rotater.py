@@ -43,9 +43,26 @@ def _axis_angle_matrix(axis: jax.Array, angle: jax.Array) -> jax.Array:
 
 
 def exp_so3(w: jax.Array) -> jax.Array:
-    """so3 exponential: (3,) -> (3,3) rotation."""
-    theta = jnp.linalg.norm(w) + 1e-12
-    return _axis_angle_matrix(w / theta, theta)
+    """so3 exponential: (3,) -> (3,3) rotation.
+
+    Written with Taylor-safe sinc terms so the GRADIENT at w=0 is finite
+    (|w| is not differentiable at 0; pose-optimizer deltas start at 0)."""
+    theta2 = jnp.sum(w * w)
+    small = theta2 < 1e-8
+    # evaluate the exact branch at a SAFE theta so the unselected branch
+    # never produces inf/nan (jnp.where grad pitfall)
+    safe_t2 = jnp.where(small, 1.0, theta2)
+    safe_t = jnp.sqrt(safe_t2)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(safe_t) / safe_t)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(safe_t)) / safe_t2)
+    wx = jnp.array(
+        [
+            [0.0, -w[2], w[1]],
+            [w[2], 0.0, -w[0]],
+            [-w[1], w[0], 0.0],
+        ]
+    )
+    return jnp.eye(3) + a * wx + b * (wx @ wx)
 
 
 @struct.dataclass

@@ -333,21 +333,38 @@ class NerfEmitterPipeline:
                 cams.height, cams.width,
             )
             return out
-        from ..renderer.integrator import render_spp
-        from ..renderer.sensors import camera_rays_in_render_space
-
-        o, d = camera_rays_in_render_space(
-            cams, jnp.int32(cam_index), cams.height, cams.width,
-            self.config.scene_scale,
-        )
-        emitter_fn = getattr(self, "_serving_emitter_fn", None)
-        if emitter_fn is None and self.config.guiding_type == "vmf":
-            emitter_fn = self._emitter_fn_of(self.nerf_state.params)
-        out = render_spp(
-            self.sdf_state.scene, o, d, key, spp,
-            emitter_fn=emitter_fn, config=self.render_config,
+        use_nerf_emitter = (
+            getattr(self, "_serving_emitter_fn", None) is not None
+            or self.config.guiding_type == "vmf"
         )
         h, w = cams.height, cams.width
+
+        cache_key = (h, w, spp, use_nerf_emitter)
+        if getattr(self, "_serve_cache_key", None) != cache_key:
+            from ..renderer.integrator import render_spp
+            from ..renderer.sensors import camera_rays_in_render_space
+
+            # NeRF params enter as a jit ARGUMENT (a closure would embed
+            # them as compile-time constants and go stale on updates)
+            @jax.jit
+            def _serve(scene, cameras, cam_index, k, nerf_params):
+                emitter = (
+                    self._emitter_fn_of(nerf_params) if use_nerf_emitter else None
+                )
+                o, d = camera_rays_in_render_space(
+                    cameras, cam_index, h, w, self.config.scene_scale
+                )
+                return render_spp(
+                    scene, o, d, k, spp,
+                    emitter_fn=emitter, config=self.render_config,
+                )
+
+            self._serve_fn = _serve
+            self._serve_cache_key = cache_key
+        out = self._serve_fn(
+            self.sdf_state.scene, cams, jnp.int32(cam_index), key,
+            self.nerf_state.params,
+        )
         return {
             "rgb": out["rgb"].reshape(h, w, 3),
             "depth": out["depth"].reshape(h, w, 1),

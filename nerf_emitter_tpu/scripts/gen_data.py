@@ -102,9 +102,11 @@ def main(argv=None):
     scene_scale = 1.0  # world [-1,1]; cameras scaled by dataparser later
     focal = 0.5 * args.width / np.tan(0.35)
     h, w = args.height, args.width
-    frames = []
     key = jax.random.PRNGKey(args.seed)
 
+    # all cameras up front -> ONE jitted render reused per view (eager
+    # dispatch per view is pathological over a remote device link)
+    c2ws = []
     for i in range(args.n_views):
         if args.path_type == "spiral":
             th = 4 * np.pi * i / args.n_views
@@ -115,29 +117,38 @@ def main(argv=None):
         eye = args.radius * np.array(
             [np.cos(th) * np.cos(ph), np.sin(ph), np.sin(th) * np.cos(ph)]
         )
-        c2w = look_at(eye.astype(np.float32), np.zeros(3))
-        cams = Cameras(
-            camera_to_worlds=jnp.asarray(c2w[None, :3]),
-            fx=jnp.full((1,), focal), fy=jnp.full((1,), focal),
-            cx=jnp.full((1,), w / 2), cy=jnp.full((1,), h / 2),
-            width=w, height=h,
-        )
-        o, d = camera_rays_in_render_space(cams, jnp.int32(0), h, w, scene_scale)
-        key, k = jax.random.split(key)
+        c2ws.append(look_at(eye.astype(np.float32), np.zeros(3)))
+    n = args.n_views
+    cams = Cameras(
+        camera_to_worlds=jnp.asarray(np.stack(c2ws))[:, :3],
+        fx=jnp.full((n,), focal), fy=jnp.full((n,), focal),
+        cx=jnp.full((n,), w / 2), cy=jnp.full((n,), h / 2),
+        width=w, height=h,
+    )
+
+    @jax.jit
+    def render_view_jit(cam_idx, k):
+        o, d = camera_rays_in_render_space(cams, cam_idx, h, w, scene_scale)
         res = render_spp(scene, o, d, k, args.spp, config=RenderConfig())
-        rgb = np.asarray(res["rgb"]).reshape(h, w, 3)
-        mask = np.asarray(res["hit"]).reshape(h, w, 1).astype(np.float32)
+        return res["rgb"], res["hit"]
+
+    frames = []
+    for i in range(n):
+        key, k = jax.random.split(key)
+        rgb_j, hit_j = render_view_jit(jnp.int32(i), k)
+        rgb = np.asarray(rgb_j).reshape(h, w, 3)
+        mask = np.asarray(hit_j).reshape(h, w, 1).astype(np.float32)
         name = f"r_{i:04d}.exr"
         exr.write_exr(out / name, np.concatenate([rgb, mask], -1))
         frames.append(
             {
                 "file_path": name,
-                "transform_matrix": c2w.tolist(),
+                "transform_matrix": c2ws[i].tolist(),
                 "rotation": int(i % args.n_rotations),
             }
         )
         if i % 10 == 0:
-            print(f"rendered {i}/{args.n_views}", flush=True)
+            print(f"rendered {i}/{n}", flush=True)
 
     meta = {
         "fl_x": focal, "fl_y": focal, "w": w, "h": h,

@@ -182,3 +182,47 @@ def test_point_lights():
         assert np.all(np.isfinite(np.asarray(out[k]))), k
     assert out["luminance"].shape == (4,)
     assert out["brightness_grad"].shape == (4,)
+
+
+def test_freq_implementation_forward_and_grad():
+    """The gather-free MXU field ('freq') — same API, no hash table."""
+    model = NerfactoModel(
+        aabb=AABB,
+        num_nerf_samples=8,
+        num_proposal_samples=(16, 8),
+        num_cameras=4,
+        implementation="freq",
+        appearance_embedding_dim=8,
+    )
+    rb = _bundle(8)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), rb)
+    assert "hash_table" not in str(jax.tree_util.tree_structure(params))
+    out = model.apply(params, rb, train=False)
+    assert out["rgb"].shape == (8, 3)
+
+    def loss_fn(p):
+        o = model.apply(p, rb, key=jax.random.PRNGKey(1), train=True)
+        return jnp.mean(o["rgb"] ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
+    assert np.isfinite(total) and total > 0
+
+
+def test_camera_pose_optimizer_grads():
+    model = NerfactoModel(
+        aabb=AABB, num_nerf_samples=8, num_proposal_samples=(12, 8),
+        log2_hashmap_size=12, max_res=64, num_cameras=4,
+        optimize_camera_poses=True,
+    )
+    rb = _bundle(8)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), rb)
+    assert params["params"]["camera_opt_deltas"].shape == (4, 6)
+
+    def loss_fn(p):
+        o = model.apply(p, rb, key=jax.random.PRNGKey(1), train=True)
+        return jnp.mean(o["rgb"] ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    cam_g = g["params"]["camera_opt_deltas"]
+    assert float(jnp.abs(cam_g).sum()) > 0  # poses receive gradient
