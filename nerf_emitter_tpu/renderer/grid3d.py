@@ -60,6 +60,19 @@ def sdf_eval(sdf: jax.Array, points: jax.Array) -> jax.Array:
     return grid_sample(v, points)[..., 0]
 
 
+def sdf_eval_nearest(sdf: jax.Array, points: jax.Array) -> jax.Array:
+    """Nearest-node SDF value — ONE flat gather per point instead of the
+    8-corner trilinear (the TPU gather budget is the sphere tracer's
+    bottleneck; see docs/DESIGN.md §2). Error bound: half the voxel
+    diagonal for a unit-Lipschitz SDF."""
+    g = sdf[..., 0] if sdf.ndim == 4 else sdf
+    r = g.shape[0]
+    p = jnp.clip(points, 0.0, 1.0) * (r - 1)
+    i = jnp.clip(jnp.round(p), 0, r - 1).astype(jnp.int32)
+    flat = (i[..., 0] * r + i[..., 1]) * r + i[..., 2]
+    return jnp.take(g.reshape(-1), flat, axis=0)
+
+
 def sdf_normal(sdf: jax.Array, points: jax.Array, eps: float = 1e-9) -> jax.Array:
     """Unit surface normal = normalized spatial gradient of the SDF."""
     g = sdf_gradient(sdf, points)

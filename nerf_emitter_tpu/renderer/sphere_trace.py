@@ -27,17 +27,39 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .grid3d import sdf_eval, sdf_gradient
+from .grid3d import sdf_eval, sdf_eval_nearest, sdf_gradient
+
+
+def _coarse_march(sdf_c, o, d, t0, t_exit, config: "SphereTraceConfig"):
+    """Conservative pre-march on the nearest-node SDF: one gather per step
+    with a half-voxel-diagonal safety margin; stalls (not stops) within a
+    voxel of the surface and hands off to the trilinear fine phase."""
+    if config.coarse_steps <= 0:
+        return t0
+    r = sdf_c.shape[0]
+    margin = 0.87 / (r - 1)  # ~ sqrt(3)/2 voxel
+
+    def body(_, t):
+        p = o + t[:, None] * d
+        f = sdf_eval_nearest(sdf_c, p)
+        step = jnp.maximum(config.step_scale * (f - margin), 0.0)
+        t_new = jnp.minimum(t + step, t_exit)
+        return t_new
+
+    return jax.lax.fori_loop(0, config.coarse_steps, body, t0)
 
 
 @dataclasses.dataclass(frozen=True)
 class SphereTraceConfig:
-    max_steps: int = 128
+    max_steps: int = 48  # trilinear (fine) steps
     hit_eps: float = 5e-4  # |f| below this counts as a hit
     t_max: float = 4.0  # beyond this the ray escaped
     step_scale: float = 0.9  # Lipschitz safety factor
     bbox_min: float = 0.0
     bbox_max: float = 1.0
+    # coarse pre-march on the NEAREST-node SDF (1 gather/step instead of 8)
+    # with a half-voxel-diagonal safety margin; 0 disables.
+    coarse_steps: int = 24
 
 
 def _ray_box_span(o: jax.Array, d: jax.Array, lo: float, hi: float):
@@ -70,6 +92,7 @@ def sphere_trace(
     t0 = t_enter if t_start is None else jnp.maximum(t_enter, t_start)
     # rays that miss the box entirely
     inactive = t0 >= t_exit
+    t0 = _coarse_march(sdf_c, o, d, t0, t_exit, config)
 
     def body(_, carry):
         t, done, f_min, t_min = carry
@@ -112,6 +135,7 @@ def sphere_trace_with_closest(
     t_enter, t_exit = _ray_box_span(o, d, config.bbox_min, config.bbox_max)
     t_exit = jnp.minimum(t_exit, config.t_max)
     inactive = t_enter >= t_exit
+    t_start2 = _coarse_march(sdf_c, o, d, t_enter, t_exit, config)
 
     def body(_, carry):
         t, done, f_min, t_min = carry
@@ -129,7 +153,7 @@ def sphere_trace_with_closest(
         0,
         config.max_steps,
         body,
-        (t_enter, inactive, jnp.full_like(t_enter, 1e9), t_enter),
+        (t_start2, inactive, jnp.full_like(t_enter, 1e9), t_start2),
     )
     p = o + t[:, None] * d
     f = sdf_eval(sdf_c, p)
