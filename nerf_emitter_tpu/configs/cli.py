@@ -67,7 +67,7 @@ def add_dataclass_args(parser: argparse.ArgumentParser, cls, prefix: str = ""):
             parser.add_argument(
                 flag, type=lambda s, tt=t: tt[s.upper()], default=default
             )
-        elif get_origin(t) in (tuple, list):
+        elif get_origin(t) in (tuple, list) or t in (tuple, list):
             parser.add_argument(
                 flag,
                 type=lambda s: json.loads(s),
@@ -95,7 +95,7 @@ def dataclass_from_args(cls, args: argparse.Namespace, prefix: str = ""):
         else:
             key = name.replace(".", "_") if not hasattr(args, name) else name
             val = getattr(args, name, getattr(args, key, None))
-            if val is not None and get_origin(t) is tuple and isinstance(val, list):
+            if val is not None and (get_origin(t) is tuple or t is tuple) and isinstance(val, list):
                 val = tuple(tuple(v) if isinstance(v, list) else v for v in val)
             kwargs[f.name] = val
     return cls(**kwargs)
@@ -143,7 +143,7 @@ def _from_jsonable(obj):
 
             hints = typing.get_type_hints(cls)
             for k, t in hints.items():
-                if k in fields and get_origin(t) is tuple and isinstance(fields[k], list):
+                if k in fields and (get_origin(t) is tuple or t is tuple) and isinstance(fields[k], list):
                     fields[k] = tuple(
                         tuple(x) if isinstance(x, list) else x for x in fields[k]
                     )

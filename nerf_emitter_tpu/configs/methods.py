@@ -103,6 +103,8 @@ def _hdr_nerfacto() -> ExperimentConfig:
             rgb_loss_second="relative_l1",
             max_steps=PRETRAIN_ITER,
             anneal_steps=1000,
+            lr_fields=1e-3,
+            lr_proposal=1e-3,
         ),
         pipeline=NerfEmitterPipelineConfig(takeover_step=1 << 30),
     )
@@ -121,6 +123,8 @@ def _sdf_nerfacto() -> ExperimentConfig:
             max_steps=PRETRAIN_ITER + MI_OPT_ITER,
             anneal_steps=1000,
             step_pretrain=PRETRAIN_ITER,
+            lr_fields=1e-3,
+            lr_proposal=1e-3,
         ),
         pipeline=NerfEmitterPipelineConfig(
             takeover_step=PRETRAIN_ITER,

@@ -137,16 +137,18 @@ class Trainer:
     def eval_step(self, step: int):
         ds = self.eval_dataset or self.dataset
         idx = step // self.config.steps_per_eval_image % ds.images.shape[0]
-        out = self.pipeline.render_fn(
-            self.pipeline.nerf_state.params,
-            ds.cameras,
-            jnp.int32(idx),
-            ds.cameras.height,
-            ds.cameras.width,
+        # unified serving entry: NeRF render before takeover, SDF render
+        # with the live emitter after (reference render_camera_outputs)
+        out = self.pipeline.render_camera_outputs(
+            ds, int(idx), jax.random.PRNGKey(step), spp=16
         )
         m = eval_image_metrics(out["rgb"], ds.images[idx], is_hdr=ds.is_hdr)
         self.writer.put_dict({f"eval/{k}": v for k, v in m.items()}, step)
         self.writer.put_image("eval/rgb", np.asarray(out["rgb"]), step)
+        if self.pipeline.sdf_state is not None:
+            self.writer.put_image(
+                "eval/mask", np.asarray(out["accumulation"]).repeat(3, -1), step
+            )
 
     def save_checkpoint(self, step: int):
         state = {"nerf": self.pipeline.nerf_state}

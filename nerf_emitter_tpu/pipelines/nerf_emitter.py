@@ -121,7 +121,10 @@ class NerfEmitterPipelineConfig:
     takeover_image_size: int = 64
     sdf_init: str = "tsdf"  # 'tsdf' (from NeRF depth) | 'sphere'
     env_path: Optional[str] = None  # GT envmap for guiding_type='env'
-    hide_emitters: bool = True
+    # hide_emitters=False renders the emitter behind the object (synthetic
+    # scenes: pred background == NeRF's environment == GT background);
+    # True (real scenes) leaves the background to occlusion compositing.
+    hide_emitters: bool = False
 
 
 class NerfEmitterPipeline:
@@ -220,9 +223,14 @@ class NerfEmitterPipeline:
             scene_scale=self.config.scene_scale,
         )
         # crop to the opt resolution
-        from ..renderer.grid3d import upsample_grid
+        from ..renderer.grid3d import sphere_sdf_grid, upsample_grid
 
         sdf = upsample_grid(sdf, self.opt_config.init_res)
+        if float(jnp.min(sdf)) >= 0.0:
+            # degenerate fusion (no interior) -> sphere fallback, like the
+            # reference's cube-override escape hatch (mitsuba_sdf.py:852-876)
+            print("tsdf_init: degenerate fusion, falling back to sphere init")
+            sdf = sphere_sdf_grid(self.opt_config.init_res, radius=0.25)
         return SdfScene(
             sdf=sdf,
             albedo=jnp.full(
@@ -230,7 +238,7 @@ class NerfEmitterPipeline:
             ),
             roughness=jnp.full((self.opt_config.tex_res,) * 3 + (1,), 0.5),
             bsdf_type=self.opt_config.bsdf_type,
-            hide_emitters=True,
+            hide_emitters=self.config.hide_emitters,
         )
 
     def begin_takeover(self, key: jax.Array, scene: Optional[SdfScene] = None):

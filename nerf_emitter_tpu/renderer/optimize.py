@@ -122,6 +122,9 @@ def redistance(sdf: jax.Array, n_iters: int = 100) -> jax.Array:
 
     init = jnp.where(band, phi, 1e9 * jnp.ones_like(phi))
     u = jax.lax.fori_loop(0, n_iters, body, init)
+    # cap at the unit-cube diagonal: if the zero set is empty (degenerate
+    # TSDF fusion) or a region is unreached, values stay finite
+    u = jnp.minimum(u, jnp.sqrt(3.0))
     out = sign * u
     # preserve exact zeros' sign
     out = jnp.where(sign == 0, 0.0, out)
@@ -162,9 +165,13 @@ class SdfOptConfig:
     init_res: int = 64
     tex_res: int = 32
     render_upsample_iter: tuple[int, ...] = (64, 128, 192)
-    curvature_mult: float = 0.05
+    curvature_mult: float = 0.005
     curvature_spp: int = 2
-    curvature_epsilon: float = 5e-3
+    # FD epsilon ~1.5 voxels at init_res: sub-voxel epsilons measure
+    # trilinear interpolation kinks, not surface curvature, and the
+    # resulting gradients wreck the surface (observed: curvature 20->84
+    # while view loss rose)
+    curvature_epsilon: float = 0.025
     n_steps: int = 320
 
 
