@@ -157,10 +157,22 @@ class Trainer:
         self.ckpt.save(step, state)
 
     def load_checkpoint(self, step: Optional[int] = None):
+        if (
+            self.pipeline.sdf_state is None
+            and int(self.config.pipeline.takeover_step) < self.config.max_num_iterations
+        ):
+            # checkpoint may contain takeover state: build the template
+            self.pipeline.begin_takeover(jax.random.PRNGKey(0))
         template = {"nerf": self.pipeline.nerf_state}
         if self.pipeline.sdf_state is not None:
             template["sdf"] = self.pipeline.sdf_state
-        restored = self.ckpt.restore(template, step)
+        try:
+            restored = self.ckpt.restore(template, step)
+        except Exception:
+            # older / pretrain-only checkpoint
+            self.pipeline.sdf_state = None
+            template = {"nerf": self.pipeline.nerf_state}
+            restored = self.ckpt.restore(template, step)
         self.pipeline.nerf_state = restored["nerf"]
         if "sdf" in restored:
             self.pipeline.sdf_state = restored["sdf"]

@@ -191,7 +191,15 @@ class NerfEmitterPipeline:
     # ------------------------------------------------------- takeover init
     def tsdf_init(self) -> SdfScene:
         """Render NeRF depth from the training cameras and fuse into the
-        initial SDF (reference tsdf_init, mitsuba_sdf.py:563-605)."""
+        initial SDF (reference tsdf_init, mitsuba_sdf.py:563-605 +
+        TSDF.from_aabb over the OBJECT box, exporter/tsdf_utils.py).
+
+        Depth rays are clipped to the object AABB so environment geometry
+        (including NeRF 'fog' shells from the shape-radiance ambiguity —
+        view-dependent color makes a fog sphere photometrically perfect for
+        a distant env) cannot pollute the fusion; rays whose in-box
+        accumulation is low carry no surface and are marked free."""
+        from ..data.scene_box import CropMode, SceneBox
         from .tsdf import tsdf_init_sdf
 
         cams = self.dataset.cameras
@@ -203,13 +211,17 @@ class NerfEmitterPipeline:
             fx=cams.fx / d, fy=cams.fy / d, cx=cams.cx / d, cy=cams.cy / d,
             width=cams.width // d, height=cams.height // d,
         )
+        obj_box = SceneBox(aabb=self.object_aabb, crop_mode=CropMode.NORMAL)
         depths = []
         n_cams = min(len(small), 32)
         for i in range(n_cams):
             out = self.render_fn(
-                self.nerf_state.params, small, jnp.int32(i), small.height, small.width
+                self.nerf_state.params, small, jnp.int32(i),
+                small.height, small.width, aabb_box=obj_box,
             )
-            depths.append(out["depth"])
+            # low in-box opacity = the ray saw no object surface -> free
+            solid = out["accumulation"] > 0.3
+            depths.append(jnp.where(solid, out["depth"], 1e3))
         depth_images = jnp.stack(depths)
         sdf = tsdf_init_sdf(
             Cameras(
