@@ -145,6 +145,8 @@ def _sdf_gt_envmap() -> ExperimentConfig:
             takeover_step=0,
             mi_opt_steps=MI_OPT_ITER,
             guiding_type="env",
+            # envmap eval is cheap — deterministic MIS buys variance for free
+            mis_mode="both",
         ),
     )
 

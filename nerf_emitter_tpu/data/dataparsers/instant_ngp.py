@@ -150,6 +150,12 @@ def parse_instant_ngp(
     s = config.aabb_scale
     aabb = np.array([[-s, -s, -s], [s, s, s]], np.float32)
 
+    # rotation tags are ANGLES in degrees (reference rotater.py:48-58);
+    # densify to ids and keep the unique angles for Rotater.from_angles
+    uniq_rot = sorted(set(rotations))
+    rot_table = {r: i for i, r in enumerate(uniq_rot)}
+    rot_ids = np.asarray([rot_table[r] for r in rotations], np.int32)
+
     return DataparserOutputs(
         image_filenames=[fnames[i] for i in sel],
         camera_to_worlds=c2w[sel][:, :3, :4],
@@ -161,8 +167,12 @@ def parse_instant_ngp(
         height=h,
         scene_aabb=aabb,
         is_hdr=is_hdr,
-        rotation_ids=np.asarray(rotations, np.int32)[sel],
-        metadata={"downscale_factor": d, "envmap": meta.get("envmap")},
+        rotation_ids=rot_ids[sel],
+        metadata={
+            "downscale_factor": d,
+            "envmap": meta.get("envmap"),
+            "rotation_angles": np.asarray(uniq_rot, np.float32),
+        },
     )
 
 

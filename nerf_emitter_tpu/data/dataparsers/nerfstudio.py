@@ -134,7 +134,15 @@ def parse_nerfstudio(
         np.int32,
     )
 
-    metadata = {"downscale_factor": d, "pose_scale": float(scale)}
+    metadata = {
+        "downscale_factor": d,
+        "pose_scale": float(scale),
+        # raw tag values are angles in degrees (reference rotater.py:48-58);
+        # rolled so rotation_angles[id] matches the shift_rotation relabeling
+        "rotation_angles": np.roll(
+            np.asarray(uniq, np.float32), config.shift_rotation
+        ),
+    }
     if "rotations" in meta:
         # calibrated per-id transforms (reference rotation_transform_matrices)
         mats = {

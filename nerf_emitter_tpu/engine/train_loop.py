@@ -46,6 +46,7 @@ class TrainConfig:
     anneal_steps: int = 1000
     anneal_slope: float = 10.0
     masked_sampling: bool = False
+    rotation_radius: float = 0.6  # turntable sphere (reference apply_frustums)
     max_steps: int = 2000
     lr_fields: float = 1e-2
     lr_proposal: float = 1e-2
@@ -100,12 +101,17 @@ def make_train_step(
     config: TrainConfig,
     tx: optax.GradientTransformation,
     mesh=None,
+    rotater=None,
 ):
     """Returns jitted train_step(state, dataset, key) -> (state, metrics).
 
     mesh: optional jax.sharding.Mesh; with config.data_axis set, the pixel
     batch is sharded over that axis (data parallelism — XLA all-reduces the
-    replicated-param grads over ICI)."""
+    replicated-param grads over ICI).
+
+    rotater: optional fields.rotater.Rotater for turntable captures; with
+    dataset.rotation_ids set, samples near the object are mapped to the
+    canonical object frame per image (reference RayBundle.rotater hook)."""
     anneal_fn = proposal_anneal_schedule(config.anneal_steps, config.anneal_slope)
     rgb_loss_fns = [L.RGB_LOSSES[config.rgb_loss]]
     if config.rgb_loss_second is not None:
@@ -139,7 +145,12 @@ def make_train_step(
 
         def loss_fn(params):
             out = model.apply(
-                params, rays, key=k_model, train=True, proposal_anneal=anneal
+                params, rays, key=k_model, train=True, proposal_anneal=anneal,
+                rotater=rotater,
+                camera_rot_ids=(
+                    dataset.rotation_ids if rotater is not None else None
+                ),
+                rotation_radius=config.rotation_radius,
             )
             pred = out["rgb"]
             gt_m = gt * mask if config.masked_sampling else gt
@@ -174,7 +185,13 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_render_fn(model: NerfactoModel, config: TrainConfig, chunk: int = 4096):
+def make_render_fn(
+    model: NerfactoModel,
+    config: TrainConfig,
+    chunk: int = 4096,
+    rotater=None,
+    camera_rot_ids=None,
+):
     """Full-image eval renderer: lax.map over fixed-size ray chunks
     (replaces the reference's chunked get_outputs_for_camera_ray_bundle,
     base_model.py:260-344)."""
@@ -201,7 +218,9 @@ def make_render_fn(model: NerfactoModel, config: TrainConfig, chunk: int = 4096)
                 ci, co, nears=config.near, fars=config.far, aabb_box=aabb_box
             )
             out = model.apply(
-                params, rays, train=False, use_average_appearance=False
+                params, rays, train=False, use_average_appearance=False,
+                rotater=rotater, camera_rot_ids=camera_rot_ids,
+                rotation_radius=config.rotation_radius,
             )
             return out["rgb"], out["depth"], out["accumulation"]
 

@@ -39,24 +39,51 @@ class Trainer:
 
     def setup(self):
         cfg = self.config
-        dp_cfg = InstantNGPDataparserConfig(
-            data=cfg.datacfg.data,
-            scene_scale=cfg.datacfg.scene_scale,
-            aabb_scale=cfg.datacfg.aabb_scale,
-            eval_mode=cfg.datacfg.eval_mode,
-            mi_data=cfg.datacfg.mi_data,
-            test_data=cfg.datacfg.test_data,
-            downscale_factor=cfg.datacfg.downscale_factor,
-        )
-        train_out = parse_instant_ngp(dp_cfg, "train")
+        if cfg.datacfg.dataparser == "nerfstudio-data":
+            from ..data.dataparsers.nerfstudio import (
+                NerfstudioDataparserConfig,
+                parse_nerfstudio,
+            )
+
+            dp_cfg = NerfstudioDataparserConfig(
+                data=cfg.datacfg.data,
+                scene_scale=cfg.datacfg.scene_scale,
+                aabb_scale=cfg.datacfg.aabb_scale,
+                eval_mode=cfg.datacfg.eval_mode,
+                mi_data=cfg.datacfg.mi_data,
+                downscale_factor=(
+                    cfg.datacfg.downscale_factor or None
+                ),
+            )
+            parse = parse_nerfstudio
+        else:
+            dp_cfg = InstantNGPDataparserConfig(
+                data=cfg.datacfg.data,
+                scene_scale=cfg.datacfg.scene_scale,
+                aabb_scale=cfg.datacfg.aabb_scale,
+                eval_mode=cfg.datacfg.eval_mode,
+                mi_data=cfg.datacfg.mi_data,
+                test_data=cfg.datacfg.test_data,
+                downscale_factor=cfg.datacfg.downscale_factor,
+            )
+            parse = parse_instant_ngp
+        train_out = parse(dp_cfg, "train")
         self.dataset = build_dataset(train_out)
         try:
-            eval_out = parse_instant_ngp(dp_cfg, "val")
+            eval_out = parse(dp_cfg, "val")
             self.eval_dataset: Optional[ImageDataset] = (
                 build_dataset(eval_out) if eval_out.image_filenames else None
             )
         except Exception:
             self.eval_dataset = None
+        # the mi_train split (full images for takeover renders; optional
+        # alternate mi_data dir — reference mitsuba_datamanager.py:42-191)
+        self.mi_dataset: Optional[ImageDataset] = None
+        if cfg.datacfg.mi_data is not None:
+            try:
+                self.mi_dataset = build_dataset(parse(dp_cfg, "mi_train"))
+            except Exception as e:
+                print(f"mi_train split unavailable ({e}); using train split")
 
         s = cfg.datacfg.aabb_scale
         aabb = ((-s, -s, -s), (s, s, s))
@@ -76,6 +103,30 @@ class Trainer:
             optimize_camera_poses=m.optimize_camera_poses,
         )
         pipe_cfg = cfg.pipeline
+        # turntable captures: build the Rotater from the dataparser's
+        # rotation tags (angles) or calibrated matrices (reference
+        # base_datamanager.py:478-496 rotater construction)
+        self.rotater = None
+        rot_ids = train_out.rotation_ids
+        if rot_ids is not None and len(np.unique(np.asarray(rot_ids))) > 1:
+            from ..fields.rotater import Rotater
+
+            md = train_out.metadata
+            center = jnp.asarray(
+                np.mean(np.asarray(pipe_cfg.object_aabb, np.float32), axis=0)
+            )
+            if md.get("rotation_transform_matrices") is not None:
+                self.rotater = Rotater.from_matrices(
+                    jnp.asarray(md["rotation_transform_matrices"]), center
+                )
+            else:
+                self.rotater = Rotater.from_angles(
+                    md["rotation_angles"], center
+                )
+            print(
+                f"turntable: {len(np.unique(np.asarray(rot_ids)))} rotations, "
+                f"angles={list(np.asarray(md.get('rotation_angles', [])))}"
+            )
         # the SDF render cube should tightly bound the OBJECT (the
         # reference's padded sdf scene), independent of the NeRF aabb;
         # scene_scale therefore comes from the pipeline config.
@@ -85,6 +136,8 @@ class Trainer:
             cfg.train,
             get_opt_config(cfg.opt_config_name),
             self.dataset,
+            mi_dataset=self.mi_dataset,
+            rotater=self.rotater,
         )
         self.pipeline.data_dir = cfg.datacfg.data  # env.exr lookup root
         from ..configs.cli import save_config

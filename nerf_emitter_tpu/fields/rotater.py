@@ -96,6 +96,26 @@ class Rotater:
         return Rotater(transforms=jnp.stack(mats), center=center)
 
     @staticmethod
+    def from_angles(
+        angles_deg,
+        center: jax.Array,
+        axis: jax.Array = None,
+    ) -> "Rotater":
+        """Per-id rotations from raw `rotation` tag values in DEGREES about
+        `axis` through `center` (the reference's axis-angle mode,
+        field_components/rotater.py:48-58: tags are angles, axis +y)."""
+        if axis is None:
+            axis = jnp.array([0.0, 1.0, 0.0])
+        mats = []
+        for a in [float(x) for x in angles_deg]:
+            r = _axis_angle_matrix(axis, jnp.deg2rad(jnp.asarray(a)))
+            m = jnp.eye(4)
+            m = m.at[:3, :3].set(r)
+            m = m.at[:3, 3].set(center - r @ center)
+            mats.append(m)
+        return Rotater(transforms=jnp.stack(mats), center=center)
+
+    @staticmethod
     def from_matrices(transform_matrices: jax.Array, center: jax.Array) -> "Rotater":
         """Calibrated transforms from the dataparser (real captures)."""
         return Rotater(transforms=transform_matrices, center=center)
@@ -136,6 +156,46 @@ class Rotater:
         t = (
             jnp.einsum("...ij,...j->...i", m[..., :3, :3], c2w[..., :3, 3])
             + m[..., :3, 3]
+        )
+        return jnp.concatenate([r, t[..., :, None]], axis=-1)
+
+    def apply_positions_within(
+        self,
+        rot_id: jax.Array,
+        positions: jax.Array,
+        dirs: Optional[jax.Array],
+        bounding_radius: float,
+    ) -> tuple[jax.Array, Optional[jax.Array]]:
+        """World→canonical mapping of per-ray SAMPLE positions (n, S, 3) —
+        the reference's RayBundle.rotater hook / apply_frustums
+        (field_components/rotater.py:apply_frustums, cameras/rays.py:285):
+        the NeRF sees the turntable object in ONE canonical pose by
+        inverse-rotating samples that fall inside the bounding sphere, while
+        the static environment outside stays world-framed. rot_id: (n,)."""
+        m = self.matrix(rot_id)  # (n, 4, 4) canonical->world
+        r_t = jnp.swapaxes(m[..., :3, :3], -1, -2)
+        p = jnp.einsum(
+            "nij,nsj->nsi", r_t, positions - m[:, None, :3, 3]
+        )
+        inside = (
+            jnp.linalg.norm(positions - self.center, axis=-1, keepdims=True)
+            < bounding_radius
+        )
+        p_out = jnp.where(inside, p, positions)
+        if dirs is None:
+            return p_out, None
+        d = jnp.einsum("nij,nsj->nsi", r_t, dirs)
+        return p_out, jnp.where(inside, d, dirs)
+
+    def apply_c2w_inverse(self, rot_id: jax.Array, c2w: jax.Array) -> jax.Array:
+        """World→canonical camera pose: the SDF object lives in the canonical
+        frame, so the sensor for image i is R_i^{-1}·c2w (the reference's
+        rotater.apply_mi_sensor, mitsuba_sdf.py:929-932)."""
+        m = self.matrix(rot_id)
+        r_t = jnp.swapaxes(m[..., :3, :3], -1, -2)
+        r = jnp.einsum("...ij,...jk->...ik", r_t, c2w[..., :3, :3])
+        t = jnp.einsum(
+            "...ij,...j->...i", r_t, c2w[..., :3, 3] - m[..., :3, 3]
         )
         return jnp.concatenate([r, t[..., :, None]], axis=-1)
 

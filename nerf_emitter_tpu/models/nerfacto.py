@@ -50,6 +50,11 @@ class NerfactoModel(nn.Module):
     depth_method: str = "median"
     implementation: str = "hash"  # 'hash' (parity) | 'freq' (MXU flagship)
     optimize_camera_poses: bool = False  # SO3xR3 per-camera correction
+    # per-rotation SO3xR3 correction of the turntable transforms (reference
+    # `rotation_optimizer`, cameras/camera_optimizers.py:66-67,131-132;
+    # rotation id 0 frozen inside Rotater.matrix)
+    optimize_rotations: bool = False
+    num_rotations: int = 0
 
     def setup(self):
         if self.optimize_camera_poses:
@@ -58,6 +63,11 @@ class NerfactoModel(nn.Module):
             self.camera_opt_deltas = self.param(
                 "camera_opt_deltas",
                 lambda k: jnp.zeros((self.num_cameras, 6)),
+            )
+        if self.optimize_rotations and self.num_rotations > 0:
+            self.rotation_opt_deltas = self.param(
+                "rotation_opt_deltas",
+                lambda k: jnp.zeros((self.num_rotations, 6)),
             )
         self.field = NerfactoField(
             aabb=self.aabb,
@@ -100,8 +110,16 @@ class NerfactoModel(nn.Module):
         disable_aabb_on: jax.Array | bool = False,
         use_average_appearance: jax.Array | bool = False,
         hdr_radiance_only: bool = False,
+        rotater=None,
+        camera_rot_ids: Optional[jax.Array] = None,
+        rotation_radius: float = 0.6,
     ) -> dict[str, Any]:
-        """rays (n, ...) -> outputs dict. Differentiable end to end."""
+        """rays (n, ...) -> outputs dict. Differentiable end to end.
+
+        rotater + camera_rot_ids (num_cameras,) enable turntable handling:
+        sample positions inside `rotation_radius` of the rotater center are
+        inverse-rotated into the canonical object frame per the ray's
+        rotation id (the reference's RayBundle.rotater hook)."""
         if self.optimize_camera_poses and ray_bundle.camera_indices is not None:
             from ..fields.rotater import exp_so3
 
@@ -112,12 +130,28 @@ class NerfactoModel(nn.Module):
                 + d6[..., 3:],
                 directions=jnp.einsum("nij,nj->ni", rot, ray_bundle.directions),
             )
-        density_fns = [
-            lambda pos, cam, net=net: net(
-                pos, disable_aabb=disable_aabb, disable_aabb_on=disable_aabb_on
+        use_rotater = rotater is not None and camera_rot_ids is not None
+        if use_rotater and self.optimize_rotations and self.num_rotations > 0:
+            rotater = rotater.replace(deltas=self.rotation_opt_deltas)
+
+        def rotate_samples(pos, cam, dirs=None):
+            """world->canonical inside the turntable sphere; cam (n, 1)."""
+            rid = camera_rot_ids[cam[..., 0]]
+            return rotater.apply_positions_within(
+                rid, pos, dirs, rotation_radius
             )
-            for net in self.proposal_networks
-        ]
+
+        def make_density_fn(net):
+            def fn(pos, cam):
+                if use_rotater:
+                    pos, _ = rotate_samples(pos, cam)
+                return net(
+                    pos, disable_aabb=disable_aabb, disable_aabb_on=disable_aabb_on
+                )
+
+            return fn
+
+        density_fns = [make_density_fn(net) for net in self.proposal_networks]
 
         sample_key = bg_key = None
         if key is not None:
@@ -134,11 +168,15 @@ class NerfactoModel(nn.Module):
         )
 
         positions = ray_samples.frustums.get_positions()
-        density, geo = self.field.get_density(
-            positions, disable_aabb=disable_aabb, disable_aabb_on=disable_aabb_on
-        )
         dirs = jnp.broadcast_to(
             ray_bundle.directions[..., None, :], positions.shape
+        )
+        if use_rotater:
+            positions, dirs = rotate_samples(
+                positions, ray_samples.camera_indices, dirs
+            )
+        density, geo = self.field.get_density(
+            positions, disable_aabb=disable_aabb, disable_aabb_on=disable_aabb_on
         )
         cam_idx = ray_samples.camera_indices
         rgb_samples = self.field.get_rgb(

@@ -52,9 +52,10 @@ def make_nerf_emitter_fn(
     *,
     far: float = 1e3,
     detach_nerf: bool = False,
-    camera_index: Optional[jax.Array] = None,
+    rotater=None,
 ):
-    """Returns emitter_fn(params) -> (x_unit, d) -> radiance.
+    """Returns emitter_fn_of(params, camera_index=None, rot_id=None) ->
+    (x_unit, d) -> radiance.
 
     Emitter-query semantics match the reference bridge:
     - rays escape the object region: they start at the object-bbox EXIT
@@ -63,14 +64,19 @@ def make_nerf_emitter_fn(
     - `detach_nerf` mirrors `detach_op` (emitter radiance treated as a
       constant for the SDF adjoint; NeRF gets no gradient),
     - `camera_index` drives the appearance embedding / rotation id that the
-      reference broadcasts via scatter_camera_idx.
+      reference broadcasts via scatter_camera_idx,
+    - `rotater` + `rot_id` map the canonical object-frame query ray into the
+      world (light) frame for turntable captures (the reference's
+      rotater.apply_sdf_scene / nerfemitter set_camera_idx,
+      rotater.py:122-123).
     """
 
-    def emitter_fn_of(params):
+    def emitter_fn_of(params, camera_index=None, rot_id=None):
         p = jax.lax.stop_gradient(params) if detach_nerf else params
 
         def emitter_fn(x_unit: jax.Array, d: jax.Array) -> jax.Array:
             o_w = coords.unit_to_world(x_unit, scene_scale)
+            dd = d
             n = o_w.shape[0]
             cam = (
                 jnp.broadcast_to(camera_index, (n, 1)).astype(jnp.int32)
@@ -79,13 +85,22 @@ def make_nerf_emitter_fn(
             )
             rays = RayBundle(
                 origins=o_w,
-                directions=d,
+                directions=dd,
                 pixel_area=jnp.full((n, 1), 1e-4),
                 nears=jnp.zeros((n, 1)),
                 fars=jnp.full((n, 1), far),
                 camera_indices=cam,
             )
+            # object-box exit computed in the CANONICAL frame (the box lives
+            # there); near/far are distances along the ray, invariant under
+            # the subsequent rigid canonical->world rotation
             rays = aabb_far_intersect_collider(rays, object_aabb, far=far)
+            if rotater is not None and rot_id is not None:
+                rid = jnp.broadcast_to(rot_id, (n,)).astype(jnp.int32)
+                rays = rays.replace(
+                    origins=rotater.apply_points(rid, rays.origins),
+                    directions=rotater.apply_dirs(rid, rays.directions),
+                )
             out = model.apply(
                 p,
                 rays,
@@ -125,6 +140,16 @@ class NerfEmitterPipelineConfig:
     # scenes: pred background == NeRF's environment == GT background);
     # True (real scenes) leaves the background to occlusion compositing.
     hide_emitters: bool = False
+    # real captures: render NeRF occlusion/background layers once at
+    # takeover and composite them into every takeover render (reference
+    # render_internal_mask/render_occlusion, mitsuba_sdf.py:607-681)
+    use_occlusion: bool = False
+    rotation_radius: float = 0.6  # turntable sphere around the object
+    # MIS strategy of the SDF integrator (renderer/integrator.RenderConfig):
+    # 'one_sample' halves the NeRF-emitter queries per camera ray — the
+    # reference's onesamplemis and the right choice when the emitter is the
+    # NeRF; 'both' (deterministic MIS) for low-spp / envmap runs.
+    mis_mode: str = "one_sample"
 
 
 class NerfEmitterPipeline:
@@ -140,16 +165,22 @@ class NerfEmitterPipeline:
         dataset: ImageDataset,
         mi_dataset: Optional[ImageDataset] = None,
         render_config: RenderConfig = RenderConfig(),
+        rotater=None,
     ):
         self.config = config
         self.model = model
+        self.rotater = rotater
         self.train_config = dataclasses.replace(
-            train_config, step_pretrain=config.takeover_step
+            train_config,
+            step_pretrain=config.takeover_step,
+            rotation_radius=config.rotation_radius,
         )
         self.opt_config = opt_config
         self.dataset = dataset
         self.mi_dataset = mi_dataset if mi_dataset is not None else dataset
-        self.render_config = render_config
+        self.render_config = dataclasses.replace(
+            render_config, mis_mode=config.mis_mode
+        )
 
         self.object_aabb = jnp.asarray(config.object_aabb, jnp.float32)
         self.guiding = VMFGuiding(
@@ -169,18 +200,25 @@ class NerfEmitterPipeline:
         self.nerf_state, self.nerf_tx = create_train_state(
             model, self.train_config, example_rays, jax.random.PRNGKey(0)
         )
-        self.nerf_step_fn = make_train_step(model, self.train_config, self.nerf_tx)
-        self.render_fn = make_render_fn(model, self.train_config)
+        self.nerf_step_fn = make_train_step(
+            model, self.train_config, self.nerf_tx, rotater=rotater
+        )
+        self.render_fn = make_render_fn(
+            model, self.train_config,
+            rotater=rotater, camera_rot_ids=dataset.rotation_ids,
+        )
 
         # SDF side (created lazily at takeover)
         self.sdf_state: Optional[SdfOptState] = None
         self.sdf_tx = None
         self.sdf_step_fn = None
+        self.occlusion = None
         self._emitter_fn_of = make_nerf_emitter_fn(
             model,
             config.scene_scale,
             self.object_aabb,
             detach_nerf=config.no_update_nerf,
+            rotater=rotater,
         )
 
     # ---------------------------------------------------------- NeRF phase
@@ -276,9 +314,37 @@ class NerfEmitterPipeline:
             ).build_envmap(getattr(self, "data_dir", "."))
             scene = scene.replace(envmap=env, guiding=None)
             emitter_fn = None  # radiance comes from scene.envmap
-        else:
+        emitter_for_camera = None
+        if not use_env:
             scene = self.build_emitter_proposal(key, scene)
             emitter_fn = self._emitter_fn_of(self.nerf_state.params)
+            # per-image closure: appearance embedding + turntable rotation
+            # (the reference's scatter_camera_idx broadcast + apply_sdf_scene)
+            emitter_for_camera = lambda cam_idx, rot_id: self._emitter_fn_of(
+                self.nerf_state.params, camera_index=cam_idx, rot_id=rot_id
+            )
+        # occlusion/background layers rendered ONCE at takeover (reference
+        # render_internal_mask/render_occlusion, mitsuba_sdf.py:607-681)
+        if self.config.use_occlusion:
+            from ..data.occlusion import render_occlusion_layers
+
+            cams = self.mi_dataset.cameras
+            d = max(1, int(cams.height) // self.config.takeover_image_size)
+            from ..cameras.cameras import Cameras
+
+            small = Cameras(
+                camera_to_worlds=cams.camera_to_worlds,
+                fx=cams.fx / d, fy=cams.fy / d, cx=cams.cx / d, cy=cams.cy / d,
+                width=cams.width // d, height=cams.height // d,
+            )
+            self.occlusion = render_occlusion_layers(
+                lambda p, c, i, aabb_box=None: self.render_fn(
+                    p, c, i, c.height, c.width, aabb_box=aabb_box
+                ),
+                self.nerf_state.params,
+                small,
+                self.object_aabb,
+            )
         self.sdf_tx = build_sdf_optimizer(self.opt_config)
         self.sdf_state = SdfOptState(
             step=jnp.int32(0), scene=scene, opt_state=self.sdf_tx.init(scene)
@@ -293,6 +359,10 @@ class NerfEmitterPipeline:
         self.sdf_step_fn = make_sdf_train_step(
             self.opt_config, takeover, self.sdf_tx,
             emitter_fn=emitter_fn, render_config=self.render_config,
+            emitter_for_camera=emitter_for_camera,
+            rotater=self.rotater,
+            camera_rot_ids=self.mi_dataset.rotation_ids,
+            use_occlusion=self.occlusion is not None,
         )
 
     def build_emitter_proposal(self, key: jax.Array, scene: SdfScene) -> SdfScene:
@@ -329,9 +399,19 @@ class NerfEmitterPipeline:
             if ds.masks is not None
             else jnp.ones((*gt.shape[:3], 1))
         )
-        self.sdf_state, metrics = self.sdf_step_fn(
-            self.sdf_state, ds.cameras, cam_idx, gt, masks, k_step
-        )
+        if self.occlusion is not None:
+            occ = (
+                self.occlusion.occlusion_rgb[cam_idx],
+                self.occlusion.occlusion_mask[cam_idx],
+                self.occlusion.background_rgb[cam_idx],
+            )
+            self.sdf_state, metrics = self.sdf_step_fn(
+                self.sdf_state, ds.cameras, cam_idx, gt, masks, k_step, occ
+            )
+        else:
+            self.sdf_state, metrics = self.sdf_step_fn(
+                self.sdf_state, ds.cameras, cam_idx, gt, masks, k_step
+            )
         self.sdf_state = post_step_host(self.sdf_state, self.opt_config, self.sdf_tx)
         return metrics
 
@@ -359,20 +439,33 @@ class NerfEmitterPipeline:
         )
         h, w = cams.height, cams.width
 
-        cache_key = (h, w, spp, use_nerf_emitter)
+        cache_key = (h, w, spp, use_nerf_emitter, dataset.rotation_ids is not None)
         if getattr(self, "_serve_cache_key", None) != cache_key:
             from ..renderer.integrator import render_spp
             from ..renderer.sensors import camera_rays_in_render_space
 
             # NeRF params enter as a jit ARGUMENT (a closure would embed
             # them as compile-time constants and go stale on updates)
+            rotater = self.rotater
+            rot_ids = dataset.rotation_ids
+
             @jax.jit
             def _serve(scene, cameras, cam_index, k, nerf_params):
+                rid = (
+                    rot_ids[cam_index]
+                    if (rotater is not None and rot_ids is not None)
+                    else None
+                )
                 emitter = (
-                    self._emitter_fn_of(nerf_params) if use_nerf_emitter else None
+                    self._emitter_fn_of(
+                        nerf_params, camera_index=cam_index, rot_id=rid
+                    )
+                    if use_nerf_emitter
+                    else None
                 )
                 o, d = camera_rays_in_render_space(
-                    cameras, cam_index, h, w, self.config.scene_scale
+                    cameras, cam_index, h, w, self.config.scene_scale,
+                    rotater=rotater, rot_id=rid,
                 )
                 return render_spp(
                     scene, o, d, k, spp,

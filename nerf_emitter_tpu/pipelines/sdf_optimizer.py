@@ -97,9 +97,28 @@ def make_sdf_train_step(
     render_config: RenderConfig = RenderConfig(),
     mesh=None,
     data_axis: Optional[str] = None,
+    emitter_for_camera: Optional[Callable] = None,
+    rotater=None,
+    camera_rot_ids: Optional[jax.Array] = None,
+    use_occlusion: bool = False,
 ):
     """Returns jitted step(state, cameras, cam_indices, gt_images, gt_masks,
-    key) -> (state, metrics). gt_images: (B, H, W, 3); cam_indices: (B,).
+    key[, occ_layers]) -> (state, metrics). gt_images: (B, H, W, 3);
+    cam_indices: (B,).
+
+    emitter_for_camera(cam_idx, rot_id) -> EmitterFn builds a per-image
+    emitter closure (appearance embedding + turntable rotation — the
+    reference's scatter_camera_idx broadcast); takes precedence over the
+    static emitter_fn.
+
+    rotater + camera_rot_ids rotate each image's sensor into the canonical
+    object frame (reference rotater.apply_mi_sensor).
+
+    use_occlusion=True: the step takes occ_layers = (occlusion_rgb (B,h,w,3),
+    occlusion_mask (B,h,w,1), background_rgb (B,h,w,3)) and composites the
+    render over the background and under the foreground occluders before the
+    view loss (reference mitsuba_sdf.py:951-956); the mask loss is weighted
+    by (1 - occlusion_mask) — the reference's internal masks (:607-643).
 
     With a mesh + data_axis, the flat pixel-ray batch of every render is
     sharded over the axis (scene/params replicated) — the reference's
@@ -132,23 +151,35 @@ def make_sdf_train_step(
             width=w, height=h, camera_type=cameras.camera_type,
         )
 
+    def rot_id_of(cam_idx):
+        if rotater is None or camera_rot_ids is None:
+            return None
+        return camera_rot_ids[cam_idx]
+
     def render_one(scene, cameras, cam_idx, key):
+        rid = rot_id_of(cam_idx)
         o, d = camera_rays_in_render_space(
-            scaled_cameras(cameras), cam_idx, h, w, takeover.scene_scale, key=key
+            scaled_cameras(cameras), cam_idx, h, w, takeover.scene_scale,
+            key=key, rotater=rotater, rot_id=rid,
         )
         o, d = shard_rays(o, d)
+        em = (
+            emitter_for_camera(cam_idx, rid)
+            if emitter_for_camera is not None
+            else emitter_fn
+        )
         out = render_spp(
             scene, o, d, key, takeover.spp,
-            emitter_fn=emitter_fn, config=render_config,
+            emitter_fn=em, config=render_config,
         )
         return out
 
-    def loss_of(scene, cameras, cam_indices, gt_images, gt_masks, key):
+    def loss_of(scene, cameras, cam_indices, gt_images, gt_masks, key, occ_layers):
         b = gt_images.shape[0]
         keys = jax.random.split(key, b)
 
         def per_image(args):
-            cam_idx, gt, mask, k = args
+            cam_idx, gt, mask, k, occ = args
             # multi-res schedule: GT resampled to the render resolution
             # (the reference's rescale_train, mitsuba_datamanager.py:137-140)
             if gt.shape[:2] != (h, w):
@@ -156,15 +187,27 @@ def make_sdf_train_step(
                 mask = jax.image.resize(mask, (h, w, 1), "linear")
             out = render_one(scene, cameras, cam_idx, k)
             pred = out["rgb"].reshape(h, w, 3)
+            soft = out["soft_mask"].reshape(h, w, 1)
+            mask_weight = jnp.ones_like(mask)
+            if occ is not None:
+                # composite: occluders over (render over background)
+                # (reference mitsuba_sdf.py:951-956, render_utils.py:232-245)
+                o_rgb, o_m, bg = occ
+                rs = lambda x, c: jax.image.resize(x, (h, w, c), "linear")
+                o_rgb, o_m, bg = rs(o_rgb, 3), rs(o_m, 1), rs(bg, 3)
+                base = pred * soft + bg * (1.0 - soft)
+                pred = o_rgb * o_m + base * (1.0 - o_m)
+                # internal mask: silhouette supervision only where the
+                # object is not hidden by foreground occluders (:607-643)
+                mask_weight = 1.0 - o_m
             view_loss = loss_fn_rgb(pred, gt)
             # differentiable silhouette loss (soft visibility carries the
             # boundary gradient the hard hit mask lacks)
-            soft = out["soft_mask"].reshape(h, w, 1)
-            mask_loss = jnp.mean((soft - mask) ** 2)
+            mask_loss = jnp.mean(mask_weight * (soft - mask) ** 2)
             # curvature regularizer (2 spp render of |Laplacian| at hits)
             o, d = camera_rays_in_render_space(
                 scaled_cameras(cameras), cam_idx, h, w, takeover.scene_scale,
-                key=k,
+                key=k, rotater=rotater, rot_id=rot_id_of(cam_idx),
             )
             curv = jnp.mean(
                 render_curvature(
@@ -174,9 +217,13 @@ def make_sdf_train_step(
             )
             return view_loss, mask_loss, curv
 
-        view_l, mask_l, curv_l = jax.lax.map(
-            per_image, (cam_indices, gt_images, gt_masks, keys)
-        )
+        if occ_layers is None:
+            map_fn = lambda args: per_image((*args, None))
+            xs = (cam_indices, gt_images, gt_masks, keys)
+        else:
+            map_fn = per_image
+            xs = (cam_indices, gt_images, gt_masks, keys, occ_layers)
+        view_l, mask_l, curv_l = jax.lax.map(map_fn, xs)
         view_loss = jnp.mean(view_l)
         mask_loss = jnp.mean(mask_l) if takeover.use_mask_loss else 0.0
         curv_loss = jnp.mean(curv_l)
@@ -196,9 +243,18 @@ def make_sdf_train_step(
         }
 
     @partial(jax.jit, donate_argnums=(0,))
-    def step(state: SdfOptState, cameras: Cameras, cam_indices, gt_images, gt_masks, key):
+    def step(
+        state: SdfOptState,
+        cameras: Cameras,
+        cam_indices,
+        gt_images,
+        gt_masks,
+        key,
+        occ_layers=None,
+    ):
         grads, metrics = jax.grad(loss_of, has_aux=True)(
-            state.scene, cameras, cam_indices, gt_images, gt_masks, key
+            state.scene, cameras, cam_indices, gt_images, gt_masks, key,
+            occ_layers,
         )
         grads = validate_gradients(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.scene)
@@ -208,6 +264,10 @@ def make_sdf_train_step(
             metrics,
         )
 
+    if not use_occlusion:
+        return lambda state, cameras, cam_indices, gt, masks, key: step(
+            state, cameras, cam_indices, gt, masks, key
+        )
     return step
 
 

@@ -54,6 +54,14 @@ class RenderConfig:
     use_visibility: bool = True  # trace shadow rays (integrator attr)
     guiding_mis_compensation: bool = True
     soft_beta: float = 0.01  # softness of the differentiable silhouette
+    # 'both' = deterministic MIS — both strategies evaluated per ray (lower
+    # variance, 2x secondary rays; the default and the low-spp choice);
+    # 'one_sample' = stochastically pick BSDF or emitter strategy per ray
+    # (the reference's onesamplemis): ONE shadow trace + ONE emitter query
+    # per ray — the perf lever when the emitter is the NeRF and spp is
+    # moderate+ (its estimator is unbiased but heavier-tailed, so at very
+    # low spp 'both' converges better).
+    mis_mode: str = "both"
 
 
 def _bsdf_eval(scene: SdfScene, x, n, wi, wo):
@@ -116,6 +124,7 @@ def render_direct(
     """
     n_rays = origins.shape[0]
     k_strat, k_bsdf, k_emit = jax.random.split(key, 3)
+    one_sample = config.mis_mode == "one_sample"
 
     def radiance(x, d):
         if emitter_fn is not None:
@@ -140,35 +149,60 @@ def render_direct(
 
     x_off = x + config.shadow_eps * n
 
-    # ---- strategy A: emitter sampling
-    d_e, pdf_e = _emitter_sample(k_emit, scene, x_off)
-    f_e = _bsdf_eval(scene, x, n, wi, d_e)
-    pdf_e_b = _bsdf_pdf(scene, x, n, wi, d_e)
-    if config.use_visibility:
-        _, occluded_e = sphere_trace(scene.sdf, x_off, d_e, config.trace)
+    if one_sample:
+        # One-sample MIS (the reference's `sdf_direct_reparam_onesamplemis`):
+        # pick BSDF or emitter strategy uniformly per ray; with the balance
+        # heuristic the estimator collapses to 2·f·L·V/(pdf_e+pdf_b) at the
+        # single selected direction — ONE shadow trace and ONE emitter
+        # (NeRF) query per ray instead of two.
+        d_e, _ = _emitter_sample(k_emit, scene, x_off)
+        d_b, _ = _bsdf_sample(k_bsdf, scene, x, n, wi)
+        sel = jax.random.bernoulli(k_strat, 0.5, (n_rays,))
+        d = jnp.where(sel[:, None], d_e, d_b)
+        pdf_e_d = _emitter_pdf(scene, x_off, d)
+        pdf_b_d = _bsdf_pdf(scene, x, n, wi, d)
+        f = _bsdf_eval(scene, x, n, wi, d)
+        if config.use_visibility:
+            _, occluded = sphere_trace(scene.sdf, x_off, d, config.trace)
+        else:
+            occluded = jnp.zeros(n_rays, bool)
+        le = radiance(x_off, d)
+        w = 2.0 / jnp.maximum(pdf_e_d + pdf_b_d, 1e-9)
+        surface_rgb = jnp.where(occluded[:, None], 0.0, f * le * w[:, None])
     else:
-        occluded_e = jnp.zeros(n_rays, bool)
-    le = radiance(x_off, d_e)
-    w_mis_e = pdf_e / jnp.maximum(pdf_e + pdf_e_b, 1e-9)
-    contrib_e = jnp.where(
-        occluded_e[:, None], 0.0, f_e * le * (w_mis_e / jnp.maximum(pdf_e, 1e-9))[:, None]
-    )
+        # ---- strategy A: emitter sampling
+        d_e, pdf_e = _emitter_sample(k_emit, scene, x_off)
+        f_e = _bsdf_eval(scene, x, n, wi, d_e)
+        pdf_e_b = _bsdf_pdf(scene, x, n, wi, d_e)
+        if config.use_visibility:
+            _, occluded_e = sphere_trace(scene.sdf, x_off, d_e, config.trace)
+        else:
+            occluded_e = jnp.zeros(n_rays, bool)
+        le = radiance(x_off, d_e)
+        w_mis_e = pdf_e / jnp.maximum(pdf_e + pdf_e_b, 1e-9)
+        contrib_e = jnp.where(
+            occluded_e[:, None],
+            0.0,
+            f_e * le * (w_mis_e / jnp.maximum(pdf_e, 1e-9))[:, None],
+        )
 
-    # ---- strategy B: BSDF sampling
-    d_b, pdf_b = _bsdf_sample(k_bsdf, scene, x, n, wi)
-    f_b = _bsdf_eval(scene, x, n, wi, d_b)
-    pdf_b_e = _emitter_pdf(scene, x_off, d_b)
-    if config.use_visibility:
-        _, occluded_b = sphere_trace(scene.sdf, x_off, d_b, config.trace)
-    else:
-        occluded_b = jnp.zeros(n_rays, bool)
-    lb = radiance(x_off, d_b)
-    w_mis_b = pdf_b / jnp.maximum(pdf_b + pdf_b_e, 1e-9)
-    contrib_b = jnp.where(
-        occluded_b[:, None], 0.0, f_b * lb * (w_mis_b / jnp.maximum(pdf_b, 1e-9))[:, None]
-    )
+        # ---- strategy B: BSDF sampling
+        d_b, pdf_b = _bsdf_sample(k_bsdf, scene, x, n, wi)
+        f_b = _bsdf_eval(scene, x, n, wi, d_b)
+        pdf_b_e = _emitter_pdf(scene, x_off, d_b)
+        if config.use_visibility:
+            _, occluded_b = sphere_trace(scene.sdf, x_off, d_b, config.trace)
+        else:
+            occluded_b = jnp.zeros(n_rays, bool)
+        lb = radiance(x_off, d_b)
+        w_mis_b = pdf_b / jnp.maximum(pdf_b + pdf_b_e, 1e-9)
+        contrib_b = jnp.where(
+            occluded_b[:, None],
+            0.0,
+            f_b * lb * (w_mis_b / jnp.maximum(pdf_b, 1e-9))[:, None],
+        )
 
-    surface_rgb = contrib_e + contrib_b
+        surface_rgb = contrib_e + contrib_b
 
     # ---- escaped primary rays see the emitter directly
     if scene.hide_emitters:

@@ -26,11 +26,18 @@ def camera_rays_in_render_space(
     scene_scale: float,
     key: jax.Array | None = None,
     spp_jitter: bool = True,
+    rotater=None,
+    rot_id: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """All pixel rays of one camera, mapped world->unit cube.
     Returns (origins (H*W, 3), directions (H*W, 3)) in render space.
     Directions are NOT renormalized after the uniform scale (a uniform
-    scale preserves direction)."""
+    scale preserves direction).
+
+    rotater + rot_id: turntable captures — the SDF object lives in the
+    canonical frame, so world rays are inverse-rotated per the image's
+    rotation id before the unit-cube mapping (the reference's
+    rotater.apply_mi_sensor, mitsuba_sdf.py:929-932)."""
     yy, xx = jnp.meshgrid(jnp.arange(height), jnp.arange(width), indexing="ij")
     pix = jnp.stack([yy, xx], -1).reshape(-1, 2)
     idx = jnp.full((pix.shape[0],), cam_index, jnp.int32)
@@ -40,9 +47,12 @@ def camera_rays_in_render_space(
         else None
     )
     bundle = cameras.generate_rays(idx, pix, jitter=jitter)
-    o = coords.world_to_unit(bundle.origins, scene_scale)
-    d = bundle.directions  # uniform scale-shift keeps directions
-    return o, d
+    o_w, d_w = bundle.origins, bundle.directions
+    if rotater is not None and rot_id is not None:
+        rid = jnp.broadcast_to(rot_id, o_w.shape[:1]).astype(jnp.int32)
+        o_w, d_w = rotater.apply_rays_within(rid, o_w, d_w)
+    o = coords.world_to_unit(o_w, scene_scale)
+    return o, d_w  # uniform scale-shift keeps directions
 
 
 def spherical_rays(

@@ -86,6 +86,18 @@ def main(argv=None):
     env = EnvmapEmitter.create(jnp.asarray(img[..., :3]))
     exr.write_exr(out / "env.exr", img[..., :3])
 
+    # turntable light rotations: rotating the light about +y by angle a is
+    # a horizontal roll of the equirect envmap (the reference gen_data
+    # renders per-rotation rotated scenes + env_{rot}.exr GT)
+    rot_angles = [i * 360.0 / args.n_rotations for i in range(args.n_rotations)]
+    rot_envs = []
+    for a in rot_angles:
+        shift = int(round(a / 360.0 * img.shape[1])) % img.shape[1]
+        rolled = np.roll(img[..., :3], shift, axis=1)
+        rot_envs.append(EnvmapEmitter.create(jnp.asarray(rolled)))
+        if args.n_rotations > 1:
+            exr.write_exr(out / f"env_{int(a)}.exr", rolled)
+
     # object
     if args.object == "sphere":
         sdf = sphere_sdf_grid(129, radius=0.22)
@@ -105,8 +117,19 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
 
     # all cameras up front -> ONE jitted render reused per view (eager
-    # dispatch per view is pathological over a remote device link)
-    c2ws = []
+    # dispatch per view is pathological over a remote device link).
+    #
+    # Turntable convention (matches the training-side Rotater): the stored
+    # c2w is the WORLD (light)-frame capture pose; the object is rotated by
+    # R(angle) about +y in image i. Rendering happens in the object-
+    # CANONICAL frame, so the render camera is R(-angle)·c2w and the env is
+    # the world envmap seen from the canonical frame (yaw roll by +angle).
+    def yaw(a_deg: float) -> np.ndarray:
+        a = np.deg2rad(a_deg)
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+    c2ws, c2ws_render, frame_rots = [], [], []
     for i in range(args.n_views):
         if args.path_type == "spiral":
             th = 4 * np.pi * i / args.n_views
@@ -117,25 +140,33 @@ def main(argv=None):
         eye = args.radius * np.array(
             [np.cos(th) * np.cos(ph), np.sin(ph), np.sin(th) * np.cos(ph)]
         )
-        c2ws.append(look_at(eye.astype(np.float32), np.zeros(3)))
+        c2w = look_at(eye.astype(np.float32), np.zeros(3))
+        rot_idx = i % args.n_rotations
+        frame_rots.append(rot_idx)
+        r_inv = yaw(-rot_angles[rot_idx])
+        c2w_render = c2w.copy()
+        c2w_render[:3, :4] = r_inv @ c2w[:3, :4]
+        c2ws.append(c2w)
+        c2ws_render.append(c2w_render)
     n = args.n_views
     cams = Cameras(
-        camera_to_worlds=jnp.asarray(np.stack(c2ws))[:, :3],
+        camera_to_worlds=jnp.asarray(np.stack(c2ws_render))[:, :3],
         fx=jnp.full((n,), focal), fy=jnp.full((n,), focal),
         cx=jnp.full((n,), w / 2), cy=jnp.full((n,), h / 2),
         width=w, height=h,
     )
 
     @jax.jit
-    def render_view_jit(cam_idx, k):
+    def render_view_jit(sc, cam_idx, k):
         o, d = camera_rays_in_render_space(cams, cam_idx, h, w, scene_scale)
-        res = render_spp(scene, o, d, k, args.spp, config=RenderConfig())
+        res = render_spp(sc, o, d, k, args.spp, config=RenderConfig())
         return res["rgb"], res["hit"]
 
     frames = []
     for i in range(n):
         key, k = jax.random.split(key)
-        rgb_j, hit_j = render_view_jit(jnp.int32(i), k)
+        sc = scene.replace(envmap=rot_envs[frame_rots[i]])
+        rgb_j, hit_j = render_view_jit(sc, jnp.int32(i), k)
         rgb = np.asarray(rgb_j).reshape(h, w, 3)
         mask = np.asarray(hit_j).reshape(h, w, 1).astype(np.float32)
         name = f"r_{i:04d}.exr"
@@ -144,7 +175,8 @@ def main(argv=None):
             {
                 "file_path": name,
                 "transform_matrix": c2ws[i].tolist(),
-                "rotation": int(i % args.n_rotations),
+                # tag = turntable angle in degrees (reference convention)
+                "rotation": int(rot_angles[frame_rots[i]]),
             }
         )
         if i % 10 == 0:

@@ -152,3 +152,45 @@ def test_sdf_gt_envmap_pipeline(tiny_setup, tmp_path):
         assert np.isfinite(float(m["loss"]))
     assert pipe.sdf_state.scene.envmap is not None
     assert pipe.sdf_state.scene.guiding is None
+
+
+def test_nerf_emitter_fn_turntable_rotation(tiny_setup):
+    """With a rotater, the emitter query at rotation id r equals the
+    unrotated query along the canonical->world rotated ray (the reference's
+    rotater.apply_sdf_scene on the nerf emitter)."""
+    from nerf_emitter_tpu.fields.rotater import Rotater
+
+    dataset, model, train_cfg, opt_cfg = tiny_setup
+    rays = dataset.cameras.generate_rays(
+        jnp.zeros((4,), jnp.int32), jnp.zeros((4, 2), jnp.int32),
+        nears=0.05, fars=3.0,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), rays)
+    aabb = jnp.asarray([[-0.3, -0.3, -0.3], [0.3, 0.3, 0.3]])
+    rot = Rotater.from_axis_angle(4, center=jnp.zeros(3))
+
+    fn_of = make_nerf_emitter_fn(model, 1.0, aabb, rotater=rot)
+    x = jnp.full((8, 3), 0.5)
+    d = jax.random.normal(jax.random.PRNGKey(1), (8, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    # id 0 is the identity -> equals the no-rotater query
+    rgb_id0 = fn_of(params, rot_id=jnp.int32(0))(x, d)
+    rgb_plain = make_nerf_emitter_fn(model, 1.0, aabb)(params)(x, d)
+    np.testing.assert_allclose(rgb_id0, rgb_plain, rtol=1e-5)
+
+    # id 1 (90 deg about +y): manually rotate the CANONICAL ray into world
+    # and compare against the plain emitter on those world rays. A 90-deg
+    # rotation maps the axis-aligned object cube to itself, so the
+    # canonical-frame box-exit distance matches the world-frame one and the
+    # two paths must agree exactly.
+    rgb_rot = fn_of(params, rot_id=jnp.int32(1))(x, d)
+    rid = jnp.ones((8,), jnp.int32)
+    from nerf_emitter_tpu.utils import coords
+
+    x_w = coords.world_to_unit(
+        rot.apply_points(rid, coords.unit_to_world(x, 1.0)), 1.0
+    )
+    d_w = rot.apply_dirs(rid, d)
+    rgb_manual = make_nerf_emitter_fn(model, 1.0, aabb)(params)(x_w, d_w)
+    np.testing.assert_allclose(rgb_rot, rgb_manual, rtol=1e-4, atol=1e-5)

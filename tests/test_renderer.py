@@ -251,3 +251,21 @@ def test_render_sdf_shape_gradient_direction():
     h = 2e-3
     fd = (loss(h) - loss(-h)) / (2 * h)
     np.testing.assert_allclose(g, fd, rtol=0.1)
+
+
+def test_one_sample_mis_matches_deterministic_mis():
+    """The one-sample MIS estimator (default; one shadow trace + one
+    emitter query per ray) must agree in expectation with deterministic
+    both-strategy MIS on a textured scene under a non-uniform envmap."""
+    img = jnp.ones((8, 16, 3)) * 0.5
+    img = img.at[2, 4].set(jnp.array([8.0, 4.0, 2.0]))  # bright patch
+    env = EnvmapEmitter.create(img)
+    scene = SdfScene.create(sdf_res=49, tex_res=8, envmap=env, init_albedo=0.7)
+    o, d = _center_ray(128)
+    cfg_one = RenderConfig(trace=TRACE, mis_mode="one_sample")
+    cfg_both = RenderConfig(trace=TRACE, mis_mode="both")
+    out_one = render_spp(scene, o, d, jax.random.PRNGKey(7), spp=256, config=cfg_one)
+    out_both = render_spp(scene, o, d, jax.random.PRNGKey(8), spp=128, config=cfg_both)
+    m_one = jnp.mean(out_one["rgb"], axis=0)
+    m_both = jnp.mean(out_both["rgb"], axis=0)
+    np.testing.assert_allclose(m_one, m_both, rtol=0.1)
