@@ -30,8 +30,8 @@ import json
 import time
 
 A100_EMITTER_QUERY_RAYS_PER_SEC_EST = 1.5e6
-NUM_RAYS = 2**14
-N_ITERS = 5
+NUM_RAYS = 2**16
+N_ITERS = 8
 
 
 def bench_implementation(implementation: str) -> float:
@@ -64,9 +64,17 @@ def bench_implementation(implementation: str) -> float:
     )
     params = jax.jit(model.init)(jax.random.PRNGKey(1), rays)
 
-    @jax.jit
-    def emitter_query(params, rays):
-        return model.apply(params, rays, train=False, hdr_radiance_only=True)["rgb"]
+    if implementation == "freq":
+        # fused Pallas field kernels (ops/fused_field.py) — the serving path
+        from nerf_emitter_tpu.ops.fused_field import make_fused_radiance_query
+
+        fused = make_fused_radiance_query(model)
+        emitter_query = jax.jit(lambda params, rays: fused(params, rays))
+    else:
+
+        @jax.jit
+        def emitter_query(params, rays):
+            return model.apply(params, rays, train=False, hdr_radiance_only=True)["rgb"]
 
     # warmup / compile, with transfer-forced sync
     np.asarray(emitter_query(params, rays))

@@ -7,6 +7,13 @@ static shapes so the whole sampling/rendering path traces once under jit.
 The reference's `RayBundle.rotater` callable hook (rays.py:212,285-286) is
 replaced by pure-function frustum rotation applied by the caller (see
 fields/rotater.py) — pytrees carry data, not closures.
+
+TPU layout rule: per-SAMPLE scalars are (n_rays, n_samples) — the sample
+axis is the minor (lane) axis and tiles cleanly. A trailing singleton
+(n_rays, n_samples, 1) puts 1 on the lane axis, which TPU tiling pads to
+128 (128x memory/bandwidth whenever XLA materializes the buffer; measured
+3.5 GB of HLO temps on a 2^16-ray emitter query before this rule).
+Trailing-dim broadcasts happen at the point of use with `[..., None]`.
 """
 
 from __future__ import annotations
@@ -22,8 +29,9 @@ import jax.numpy as jnp
 class Frustums:
     """Conical/rect frustums around ray samples.
 
-    origins/directions: (..., 3); starts/ends: (..., 1) distances along the
-    ray; pixel_area: (..., 1) solid-angle footprint at unit distance.
+    origins/directions: (n_rays, n_samples, 3) (broadcast views);
+    starts/ends: (n_rays, n_samples) distances along the ray;
+    pixel_area: (n_rays, n_samples) solid-angle footprint at unit distance.
     """
 
     origins: jax.Array
@@ -34,10 +42,11 @@ class Frustums:
 
     def get_positions(self) -> jax.Array:
         """Midpoint world positions: (..., 3)."""
-        return self.origins + self.directions * (self.starts + self.ends) / 2.0
+        mid = (self.starts + self.ends) / 2.0
+        return self.origins + self.directions * mid[..., None]
 
     def get_start_positions(self) -> jax.Array:
-        return self.origins + self.directions * self.starts
+        return self.origins + self.directions * self.starts[..., None]
 
     def get_gaussian(self) -> tuple[jax.Array, jax.Array]:
         """(mean, isotropic variance) of a conical frustum section (mip-NeRF)."""
@@ -49,40 +58,38 @@ class Frustums:
         )
         r = jnp.sqrt(self.pixel_area / jnp.pi)
         var_r = r**2 * ((mu**2) / 4.0 + (5.0 / 12.0) * hw**2 - (4.0 / 15.0) * (hw**4) / (3.0 * mu**2 + hw**2))
-        mean = self.origins + self.directions * mean_t
+        mean = self.origins + self.directions * mean_t[..., None]
         var = (var_t + var_r) / 2.0
         return mean, var
 
 
 @struct.dataclass
 class RaySamples:
-    """Samples along rays. frustums fields are (n_rays, n_samples, ...)."""
+    """Samples along rays. Per-sample scalars are (n_rays, n_samples)."""
 
     frustums: Frustums
-    deltas: jax.Array  # (n_rays, n_samples, 1)
-    spacing_starts: jax.Array  # (n_rays, n_samples, 1) in [0, 1] warped spacing
+    deltas: jax.Array  # (n_rays, n_samples)
+    spacing_starts: jax.Array  # (n_rays, n_samples) in [0, 1] warped spacing
     spacing_ends: jax.Array
     camera_indices: Optional[jax.Array] = None  # (n_rays, 1) int32
 
     def get_weights(self, densities: jax.Array) -> jax.Array:
-        """Volume-rendering weights from densities (n_rays, n_samples, 1).
+        """Volume-rendering weights from densities (n_rays, n_samples).
 
         w_i = T_i * (1 - exp(-sigma_i * delta_i)),  T_i = exp(-sum_{j<i} sigma_j delta_j)
         """
         delta_density = self.deltas * densities
         alphas = 1.0 - jnp.exp(-delta_density)
-        trans = jnp.exp(-jnp.cumsum(delta_density[..., :-1, :], axis=-2))
-        trans = jnp.concatenate(
-            [jnp.ones_like(trans[..., :1, :]), trans], axis=-2
-        )
+        trans = jnp.exp(-jnp.cumsum(delta_density[..., :-1], axis=-1))
+        trans = jnp.concatenate([jnp.ones_like(trans[..., :1]), trans], axis=-1)
         return alphas * trans
 
     @staticmethod
     def get_weights_and_transmittance_from_alphas(alphas: jax.Array) -> tuple[jax.Array, jax.Array]:
         trans = jnp.cumprod(
-            jnp.concatenate([jnp.ones_like(alphas[..., :1, :]), 1.0 - alphas + 1e-7], axis=-2),
-            axis=-2,
-        )[..., :-1, :]
+            jnp.concatenate([jnp.ones_like(alphas[..., :1]), 1.0 - alphas + 1e-7], axis=-1),
+            axis=-1,
+        )[..., :-1]
         return alphas * trans, trans
 
 
@@ -126,9 +133,9 @@ class RayBundle:
         spacing_starts: jax.Array,
         spacing_ends: jax.Array,
     ) -> RaySamples:
-        """Build RaySamples from per-ray euclidean bins (n_rays, n_samples, 1)."""
+        """Build RaySamples from per-ray euclidean bins (n_rays, n_samples)."""
         deltas = bin_ends - bin_starts
-        n_samples = bin_starts.shape[-2]
+        n_samples = bin_starts.shape[-1]
         broadcast = lambda x, d: jnp.broadcast_to(
             x[..., None, :], (*x.shape[:-1], n_samples, d)
         )
@@ -137,7 +144,7 @@ class RayBundle:
             directions=broadcast(self.directions, 3),
             starts=bin_starts,
             ends=bin_ends,
-            pixel_area=broadcast(self.pixel_area, 1),
+            pixel_area=jnp.broadcast_to(self.pixel_area, bin_starts.shape),
         )
         cam_idx = None
         if self.camera_indices is not None:

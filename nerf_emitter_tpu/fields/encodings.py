@@ -163,7 +163,13 @@ def hash_encode(table: jax.Array, positions: jax.Array, spec: HashGridSpec) -> j
 
 def sh_encode(directions: jax.Array, degree: int = 4) -> jax.Array:
     """Real SH basis up to `degree` bands (degree<=4 -> 16 comps).
-    directions: unit vectors (..., 3)."""
+    directions: unit vectors (..., 3).
+
+    TPU layout note: components are assembled as (K, N) — batch on the
+    LANE (minor) axis — then transposed once. Stacking (N, 1) columns on
+    the minor axis instead makes XLA pad every column to the 128-lane tile
+    (128x memory/bandwidth blowup, observed as 1.5 GB buffers per column
+    at 6M samples); same trick as the hash encoder above."""
     x, y, z = directions[..., 0], directions[..., 1], directions[..., 2]
     xx, yy, zz = x * x, y * y, z * z
     xy, yz, xz = x * y, y * z, x * z
@@ -195,7 +201,9 @@ def sh_encode(directions: jax.Array, degree: int = 4) -> jax.Array:
         ]
     if degree > 4:
         raise NotImplementedError("SH degree > 4")
-    return jnp.stack(comps, axis=-1)
+    flat = [c.reshape(-1) for c in comps]
+    enc = jnp.stack(flat, axis=0)  # (K, N): batch on the lane axis
+    return enc.T.reshape(*directions.shape[:-1], len(comps))
 
 
 def sh_dim(degree: int) -> int:
@@ -215,14 +223,19 @@ def nerf_encode(
     include_input: bool = True,
 ) -> jax.Array:
     freqs = 2.0 ** jnp.linspace(min_freq_exp, max_freq_exp, num_frequencies)
-    scaled = x[..., None] * freqs  # (..., D, Fq)
-    enc = jnp.concatenate(
-        [jnp.sin(2.0 * jnp.pi * scaled), jnp.cos(2.0 * jnp.pi * scaled)], axis=-1
-    )
-    enc = enc.reshape(*x.shape[:-1], -1)
+    d = x.shape[-1]
+    # assemble as (K, N) — batch on the lane axis — then transpose once;
+    # an (..., D, Fq) intermediate puts Fq (~10) on the minor axis, which
+    # TPU tiling pads to 128 lanes (12.8x bandwidth blowup). See sh_encode.
+    xt = x.reshape(-1, d).T  # (D, N)
+    scaled = (xt[:, None, :] * freqs[None, :, None]).reshape(
+        d * len(freqs), -1
+    )  # (D*Fq, N)
+    parts = [jnp.sin(2.0 * jnp.pi * scaled), jnp.cos(2.0 * jnp.pi * scaled)]
     if include_input:
-        enc = jnp.concatenate([x, enc], axis=-1)
-    return enc
+        parts = [xt] + parts
+    enc = jnp.concatenate(parts, axis=0)  # (K, N)
+    return enc.T.reshape(*x.shape[:-1], -1)
 
 
 def nerf_encode_dim(in_dim: int, num_frequencies: int, include_input: bool = True) -> int:

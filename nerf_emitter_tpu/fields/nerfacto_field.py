@@ -161,7 +161,7 @@ class NerfactoField(nn.Module):
             on = jnp.asarray(disable_aabb_on)
             density = jnp.where(on & inside, 0.0, density)
 
-        return density.reshape(*shape, 1), geo.reshape(*shape, self.geo_feat_dim)
+        return density.reshape(shape), geo.reshape(*shape, self.geo_feat_dim)
 
     def get_rgb(
         self,
@@ -295,4 +295,4 @@ class HashMLPDensityField(nn.Module):
             )
             on = jnp.asarray(disable_aabb_on)
             density = jnp.where(on & inside, 0.0, density)
-        return density.reshape(*shape, 1)
+        return density.reshape(shape)

@@ -215,7 +215,7 @@ class NerfactoModel(nn.Module):
             outputs["weights_list"] = weights_list
             outputs["spacing_bins_list"] = [
                 jnp.concatenate(
-                    [s.spacing_starts[..., 0], s.spacing_ends[..., -1:, 0]], axis=-1
+                    [s.spacing_starts, s.spacing_ends[..., -1:]], axis=-1
                 )
                 for s in samples_list
             ]
@@ -268,7 +268,7 @@ class NerfactoModel(nn.Module):
         rgb = rendering.composite_rgb(
             rgb_samples, weights, background_color="black", hdr=True, is_training=False
         )
-        lum_samples = luminance(rgb_samples)[..., None]
+        lum_samples = luminance(rgb_samples)
         depth = rendering.composite_depth(
             weights, ray_samples.frustums.starts, ray_samples.frustums.ends,
             method="contrib", values=lum_samples,

@@ -97,22 +97,22 @@ def lossfun_outer(t, w, t_env, w_env, eps: float = 1e-7):
 
 
 def interlevel_loss(weights_list: Sequence[jax.Array], spacing_bins_list: Sequence[jax.Array]) -> jax.Array:
-    """weights_list[i]: (n_rays, S_i, 1); spacing_bins_list[i]: (n_rays, S_i+1)
+    """weights_list[i]: (n_rays, S_i); spacing_bins_list[i]: (n_rays, S_i+1)
     normalized spacing edges. The LAST entry is the fine (nerf) level."""
     c = jax.lax.stop_gradient(spacing_bins_list[-1])
-    w = jax.lax.stop_gradient(weights_list[-1][..., 0])
+    w = jax.lax.stop_gradient(weights_list[-1])
     total = 0.0
     for cp, wp in zip(spacing_bins_list[:-1], weights_list[:-1]):
-        total = total + jnp.mean(jnp.sum(lossfun_outer(c, w, cp, wp[..., 0]), axis=-1))
+        total = total + jnp.mean(jnp.sum(lossfun_outer(c, w, cp, wp), axis=-1))
     return total
 
 
 def distortion_loss(weights: jax.Array, spacing_starts: jax.Array, spacing_ends: jax.Array) -> jax.Array:
     """Mip-NeRF 360 distortion loss over normalized spacing.
-    weights: (n_rays, S, 1); spacing_*: (n_rays, S, 1)."""
-    w = weights[..., 0]
-    m = (spacing_starts[..., 0] + spacing_ends[..., 0]) / 2.0
-    interval = spacing_ends[..., 0] - spacing_starts[..., 0]
+    weights: (n_rays, S); spacing_*: (n_rays, S)."""
+    w = weights
+    m = (spacing_starts + spacing_ends) / 2.0
+    interval = spacing_ends - spacing_starts
 
     # pairwise term sum_ij w_i w_j |m_i - m_j| computed via sorted cumsum trick
     # m is already sorted along the sample axis.
@@ -129,12 +129,12 @@ def distortion_loss(weights: jax.Array, spacing_starts: jax.Array, spacing_ends:
 
 def orientation_loss(weights: jax.Array, normals: jax.Array, view_dirs: jax.Array) -> jax.Array:
     """Ref-NeRF orientation loss: penalize normals facing away from camera.
-    weights: (n, S, 1); normals: (n, S, 3); view_dirs: (n, 3)."""
+    weights: (n, S); normals: (n, S, 3); view_dirs: (n, 3)."""
     n_dot_v = jnp.sum(normals * view_dirs[..., None, :], axis=-1)
-    return jnp.mean(weights[..., 0] * jnp.clip(n_dot_v, 0.0, None) ** 2)
+    return jnp.mean(weights * jnp.clip(n_dot_v, 0.0, None) ** 2)
 
 
 def pred_normal_loss(weights: jax.Array, normals: jax.Array, pred_normals: jax.Array) -> jax.Array:
     return jnp.mean(
-        weights[..., 0] * (1.0 - jnp.sum(normals * pred_normals, axis=-1))
+        weights * (1.0 - jnp.sum(normals * pred_normals, axis=-1))
     )

@@ -8,6 +8,10 @@ fuses into the field evaluation.
 HDR semantics (renderers.py:230-235): when hdr=True the composited RGB is
 NOT clamped to [0,1] and the white/last-sample background completion uses
 linear radiance.
+
+TPU layout rule (see cameras/rays.py): per-sample scalars — weights,
+starts/ends, values — are (..., S) with the sample axis minor; only
+vector quantities carry a trailing channel dim.
 """
 
 from __future__ import annotations
@@ -29,9 +33,9 @@ def composite_rgb(
     hdr: bool = False,
     is_training: bool = True,
 ) -> jax.Array:
-    """rgb: (..., S, 3), weights: (..., S, 1) -> (..., 3)."""
-    comp = jnp.sum(weights * rgb, axis=-2)
-    acc = jnp.sum(weights, axis=-2)
+    """rgb: (..., S, 3), weights: (..., S) -> (..., 3)."""
+    comp = jnp.sum(weights[..., None] * rgb, axis=-2)
+    acc = jnp.sum(weights, axis=-1, keepdims=True)
 
     if background_color == "last_sample":
         bg = rgb[..., -1, :]
@@ -54,8 +58,8 @@ def composite_rgb(
 
 
 def composite_accumulation(weights: jax.Array) -> jax.Array:
-    """(..., S, 1) -> (..., 1)."""
-    return jnp.sum(weights, axis=-2)
+    """(..., S) -> (..., 1)."""
+    return jnp.sum(weights, axis=-1, keepdims=True)
 
 
 def composite_depth(
@@ -66,7 +70,7 @@ def composite_depth(
     method: str = "median",
     values: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Depth compositing. weights: (..., S, 1); starts/ends: (..., S, 1).
+    """Depth compositing. weights/starts/ends/values: (..., S) -> (..., 1).
 
     method='expected': weight-averaged midpoint depth.
     method='median': depth where cumulative weight crosses 0.5.
@@ -77,27 +81,34 @@ def composite_depth(
     steps = (ray_samples_starts + ray_samples_ends) / 2.0
     if method == "expected":
         eps = 1e-10
-        depth = jnp.sum(weights * steps, axis=-2) / (jnp.sum(weights, axis=-2) + eps)
-        return jnp.clip(depth, steps[..., 0, :], steps[..., -1, :])
+        depth = jnp.sum(weights * steps, axis=-1, keepdims=True) / (
+            jnp.sum(weights, axis=-1, keepdims=True) + eps
+        )
+        return jnp.clip(depth, steps[..., :1], steps[..., -1:])
     if method == "median":
-        cum = jnp.cumsum(weights[..., 0], axis=-1)  # (..., S)
+        cum = jnp.cumsum(weights, axis=-1)  # (..., S)
         total = cum[..., -1:]
-        idx = jnp.sum((cum < 0.5 * jnp.minimum(total * 2.0, 1.0)).astype(jnp.int32), axis=-1, keepdims=True)
-        idx = jnp.clip(idx, 0, steps.shape[-2] - 1)
-        return jnp.take_along_axis(steps[..., 0], idx, axis=-1)
+        idx = jnp.sum(
+            (cum < 0.5 * jnp.minimum(total * 2.0, 1.0)).astype(jnp.int32),
+            axis=-1,
+            keepdims=True,
+        )
+        idx = jnp.clip(idx, 0, steps.shape[-1] - 1)
+        return jnp.take_along_axis(steps, idx, axis=-1)
     if method == "contrib":
         if values is None:
             raise ValueError("contrib depth needs per-sample values")
-        contrib = weights[..., 0] * values[..., 0]  # (..., S)
+        contrib = weights * values  # (..., S)
         idx = jnp.argmax(contrib, axis=-1)[..., None]
-        return jnp.take_along_axis(steps[..., 0], idx, axis=-1)
+        return jnp.take_along_axis(steps, idx, axis=-1)
     raise ValueError(method)  # pragma: no cover
 
 
 def composite_normals(normals: jax.Array, weights: jax.Array) -> jax.Array:
-    """(..., S, 3), (..., S, 1) -> (..., 3)."""
-    return jnp.sum(weights * normals, axis=-2)
+    """(..., S, 3), (..., S) -> (..., 3)."""
+    return jnp.sum(weights[..., None] * normals, axis=-2)
 
 
 def composite_generic(values: jax.Array, weights: jax.Array) -> jax.Array:
-    return jnp.sum(weights * values, axis=-2)
+    """values (..., S, C), weights (..., S) -> (..., C)."""
+    return jnp.sum(weights[..., None] * values, axis=-2)

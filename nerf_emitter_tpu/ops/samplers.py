@@ -96,10 +96,10 @@ def spaced_sample(
     euclid_bins = spacing_fn_inv(bins * (s_far - s_near) + s_near)  # (n_rays, S+1)
 
     return ray_bundle.get_ray_samples(
-        bin_starts=euclid_bins[..., :-1, None],
-        bin_ends=euclid_bins[..., 1:, None],
-        spacing_starts=bins[..., :-1, None],
-        spacing_ends=bins[..., 1:, None],
+        bin_starts=euclid_bins[..., :-1],
+        bin_ends=euclid_bins[..., 1:],
+        spacing_starts=bins[..., :-1],
+        spacing_ends=bins[..., 1:],
     )
 
 
@@ -117,14 +117,14 @@ def sample_pdf(
 ) -> RaySamples:
     """Inverse-CDF resampling of `num_samples` new bins from existing weights.
 
-    weights: (n_rays, n_bins, 1); existing spacing bins come from ray_samples.
+    weights: (n_rays, n_bins); existing spacing bins come from ray_samples.
     """
     eps = 1e-5
     # Resampling is stop-gradient wrt the weights (mip-NeRF 360 convention):
     # proposal nets learn only through the interlevel loss, and pow(w, anneal)
     # has an infinite derivative at w=0. Ray-geometry gradients (for the
     # emitter-query backward wrt o,v) still flow via near/far and positions.
-    w = jax.lax.stop_gradient(weights[..., 0]) + histogram_padding  # (n_rays, n_bins)
+    w = jax.lax.stop_gradient(weights) + histogram_padding  # (n_rays, n_bins)
     w_sum = jnp.sum(w, axis=-1, keepdims=True)
     padding = jnp.maximum(eps - w_sum, 0.0)
     w = w + padding / w.shape[-1]
@@ -149,7 +149,7 @@ def sample_pdf(
         u = jnp.broadcast_to(u, (n_rays, num_samples + 1))
 
     existing_bins = jnp.concatenate(
-        [ray_samples.spacing_starts[..., 0], ray_samples.spacing_ends[..., -1:, 0]],
+        [ray_samples.spacing_starts, ray_samples.spacing_ends[..., -1:]],
         axis=-1,
     )  # (n_rays, n_bins+1)
 
@@ -181,10 +181,10 @@ def sample_pdf(
     s_n = _spacing_of(ray_bundle, spacing_fn_inv, new_bins)
 
     return ray_bundle.get_ray_samples(
-        bin_starts=s_n[..., :-1, None],
-        bin_ends=s_n[..., 1:, None],
-        spacing_starts=new_bins[..., :-1, None],
-        spacing_ends=new_bins[..., 1:, None],
+        bin_starts=s_n[..., :-1],
+        bin_ends=s_n[..., 1:],
+        spacing_starts=new_bins[..., :-1],
+        spacing_ends=new_bins[..., 1:],
     )
 
 
@@ -224,7 +224,7 @@ def proposal_sample(
     """Hierarchical proposal sampling (ProposalNetworkSampler, reference
     ray_samplers.py:531-610, annealing per mitsuba_sdf train callbacks).
 
-    density_fns[i](positions, camera_indices) -> densities (n_rays, S_i, 1).
+    density_fns[i](positions, camera_indices) -> densities (n_rays, S_i).
     Returns (final ray_samples, weights_list, samples_list) where the lists
     hold each proposal level's weights/samples for the interlevel loss.
     """

@@ -53,6 +53,7 @@ def make_nerf_emitter_fn(
     far: float = 1e3,
     detach_nerf: bool = False,
     rotater=None,
+    use_fused: bool = True,
 ):
     """Returns emitter_fn_of(params, camera_index=None, rot_id=None) ->
     (x_unit, d) -> radiance.
@@ -68,8 +69,29 @@ def make_nerf_emitter_fn(
     - `rotater` + `rot_id` map the canonical object-frame query ray into the
       world (light) frame for turntable captures (the reference's
       rotater.apply_sdf_scene / nerfemitter set_camera_idx,
-      rotater.py:122-123).
+      rotater.py:122-123),
+    - `use_fused` (freq implementation only): serve the query through the
+      fused Pallas field kernels (ops/fused_field.py) — ~2x over the plain
+      XLA path; gradients recompute through the plain path (custom_vjp).
     """
+    fused_query = None
+    # TPU-backend gate: off-TPU the kernels would run in interpret mode
+    # (slow), and under auto-partitioning a pallas_call is an opaque custom
+    # call XLA cannot shard — the multi-chip path keeps the plain XLA query
+    # until the kernels are wrapped in shard_map over the ray axis.
+    if (
+        use_fused
+        and getattr(model, "implementation", "") == "freq"
+        and jax.default_backend() == "tpu"
+    ):
+        import numpy as _np
+
+        from ..ops.fused_field import make_fused_radiance_query
+
+        _box = _np.asarray(object_aabb, _np.float32)
+        fused_query = make_fused_radiance_query(
+            model, disable_box=tuple(tuple(float(x) for x in row) for row in _box)
+        )
 
     def emitter_fn_of(params, camera_index=None, rot_id=None):
         p = jax.lax.stop_gradient(params) if detach_nerf else params
@@ -101,6 +123,8 @@ def make_nerf_emitter_fn(
                     origins=rotater.apply_points(rid, rays.origins),
                     directions=rotater.apply_dirs(rid, rays.directions),
                 )
+            if fused_query is not None:
+                return fused_query(p, rays, camera_index=camera_index)
             out = model.apply(
                 p,
                 rays,

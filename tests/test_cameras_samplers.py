@@ -66,8 +66,8 @@ def _bundle(n_rays=4, near=0.1, far=10.0):
 def test_spaced_sample_monotone_and_in_range():
     rb = _bundle()
     rs = samplers.spaced_sample(rb, 32, key=jax.random.PRNGKey(1))
-    starts = rs.frustums.starts[..., 0]
-    ends = rs.frustums.ends[..., 0]
+    starts = rs.frustums.starts
+    ends = rs.frustums.ends
     assert bool(jnp.all(ends >= starts))
     assert bool(jnp.all(starts >= rb.nears - 1e-5))
     assert bool(jnp.all(ends <= rb.fars + 1e-4))
@@ -85,13 +85,13 @@ def test_pdf_sample_concentrates_on_peak():
     rb = _bundle(n_rays=2, near=0.1, far=2.0)
     rs = samplers.spaced_sample(rb, 64, spacing_fn=samplers.spacing_linear,
                                 spacing_fn_inv=samplers.spacing_linear_inv)
-    mids = (rs.frustums.starts + rs.frustums.ends)[..., 0] / 2
+    mids = (rs.frustums.starts + rs.frustums.ends) / 2
     # weight peak near t=1.0
-    w = jnp.exp(-200.0 * (mids - 1.0) ** 2)[..., None]
+    w = jnp.exp(-200.0 * (mids - 1.0) ** 2)
     new = samplers.sample_pdf(rb, rs, w, 32, key=jax.random.PRNGKey(2),
                               spacing_fn_inv=samplers.spacing_linear_inv,
                               histogram_padding=0.0)
-    new_mids = (new.frustums.starts + new.frustums.ends)[..., 0] / 2
+    new_mids = (new.frustums.starts + new.frustums.ends) / 2
     frac_near_peak = jnp.mean((jnp.abs(new_mids - 1.0) < 0.2).astype(jnp.float32))
     assert float(frac_near_peak) > 0.7
 
@@ -100,17 +100,17 @@ def test_get_weights_opaque_wall():
     rb = _bundle(n_rays=1, near=0.0, far=1.0)
     rs = samplers.spaced_sample(rb, 16, spacing_fn=samplers.spacing_linear,
                                 spacing_fn_inv=samplers.spacing_linear_inv)
-    dens = jnp.full((1, 16, 1), 1e6)  # opaque everywhere
+    dens = jnp.full((1, 16), 1e6)  # opaque everywhere
     w = rs.get_weights(dens)
     np.testing.assert_allclose(float(jnp.sum(w)), 1.0, atol=1e-4)
     # all mass in first sample
-    assert float(w[0, 0, 0]) > 0.99
+    assert float(w[0, 0]) > 0.99
 
 
 def test_get_weights_empty_space():
     rb = _bundle(n_rays=1)
     rs = samplers.spaced_sample(rb, 16)
-    w = rs.get_weights(jnp.zeros((1, 16, 1)))
+    w = rs.get_weights(jnp.zeros((1, 16)))
     np.testing.assert_allclose(w, 0.0, atol=1e-7)
 
 
@@ -119,20 +119,20 @@ def test_proposal_sample_pipeline():
 
     def density_fn(pos, cam_idx):
         # density blob near origin dist 1
-        r = jnp.linalg.norm(pos, axis=-1, keepdims=True)
+        r = jnp.linalg.norm(pos, axis=-1)
         return 10.0 * jnp.exp(-5.0 * (r - 1.0) ** 2)
 
     final, wlist, slist = samplers.proposal_sample(
         rb, [density_fn, density_fn], [32, 16], 8, key=jax.random.PRNGKey(3)
     )
-    assert final.frustums.starts.shape == (4, 8, 1)
+    assert final.frustums.starts.shape == (4, 8)
     assert len(wlist) == 2 and len(slist) == 2
     assert bool(jnp.all(final.deltas >= -1e-6))
 
 
 def test_composite_rgb_hdr_not_clamped():
     rgb = jnp.full((2, 4, 3), 5.0)
-    w = jnp.full((2, 4, 1), 0.25)
+    w = jnp.full((2, 4), 0.25)
     out = rendering.composite_rgb(rgb, w, background_color="black", hdr=True, is_training=False)
     np.testing.assert_allclose(out, 5.0, rtol=1e-5)
     out_ldr = rendering.composite_rgb(rgb, w, background_color="black", hdr=False, is_training=False)
@@ -140,12 +140,12 @@ def test_composite_rgb_hdr_not_clamped():
 
 
 def test_composite_depth_methods():
-    w = jnp.array([[[0.0], [0.9], [0.1], [0.0]]])
-    starts = jnp.array([[[1.0], [2.0], [3.0], [4.0]]])
+    w = jnp.array([[0.0, 0.9, 0.1, 0.0]])
+    starts = jnp.array([[1.0, 2.0, 3.0, 4.0]])
     ends = starts + 1.0
     d_med = rendering.composite_depth(w, starts, ends, method="median")
     np.testing.assert_allclose(d_med[0, 0], 2.5, atol=1e-5)
-    vals = jnp.array([[[1.0], [1.0], [100.0], [1.0]]])
+    vals = jnp.array([[1.0, 1.0, 100.0, 1.0]])
     d_contrib = rendering.composite_depth(w, starts, ends, method="contrib", values=vals)
     np.testing.assert_allclose(d_contrib[0, 0], 3.5, atol=1e-5)
 
@@ -158,10 +158,10 @@ def test_hdr_losses_zero_at_equal():
 
 
 def test_distortion_loss_prefers_compact():
-    ss = jnp.linspace(0, 1, 17)[:16].reshape(1, 16, 1)
-    se = jnp.linspace(0, 1, 17)[1:].reshape(1, 16, 1)
-    w_spread = jnp.full((1, 16, 1), 1.0 / 16)
-    w_compact = jnp.zeros((1, 16, 1)).at[0, 8, 0].set(1.0)
+    ss = jnp.linspace(0, 1, 17)[:16].reshape(1, 16)
+    se = jnp.linspace(0, 1, 17)[1:].reshape(1, 16)
+    w_spread = jnp.full((1, 16), 1.0 / 16)
+    w_compact = jnp.zeros((1, 16)).at[0, 8].set(1.0)
     assert float(losses.distortion_loss(w_compact, ss, se)) < float(
         losses.distortion_loss(w_spread, ss, se)
     )
@@ -170,6 +170,6 @@ def test_distortion_loss_prefers_compact():
 def test_interlevel_loss_zero_when_proposal_covers():
     # proposal == fine histogram -> loss 0
     bins = jnp.linspace(0, 1, 17)[None].repeat(2, 0)  # (2, 17)
-    w = jnp.full((2, 16, 1), 1.0 / 16)
+    w = jnp.full((2, 16), 1.0 / 16)
     val = losses.interlevel_loss([w, w], [bins, bins])
     assert float(val) < 1e-6
