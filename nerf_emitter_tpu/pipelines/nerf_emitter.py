@@ -491,9 +491,14 @@ class NerfEmitterPipeline:
                     cameras, cam_index, h, w, self.config.scene_scale,
                     rotater=rotater, rot_id=rid,
                 )
+                # serving is gradient-free: the warp reparameterization
+                # changes nothing in the primal, so skip its 3x trace cost
+                serve_cfg = dataclasses.replace(
+                    self.render_config, reparam="soft"
+                )
                 return render_spp(
                     scene, o, d, k, spp,
-                    emitter_fn=emitter, config=self.render_config,
+                    emitter_fn=emitter, config=serve_cfg,
                 )
 
             self._serve_fn = _serve

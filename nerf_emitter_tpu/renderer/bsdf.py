@@ -17,6 +17,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..utils.math import normalize as _normalize
+
 INV_PI = 1.0 / jnp.pi
 
 
@@ -104,7 +106,7 @@ def principled_eval(
     cos_o_c = jnp.maximum(cos_o, 1e-6)
 
     h = wi + wo
-    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-9)
+    h = _normalize(h)
     n_dot_h = jnp.maximum(jnp.sum(n * h, axis=-1, keepdims=True), 0.0)
     h_dot_o = jnp.maximum(jnp.sum(h * wo, axis=-1, keepdims=True), 0.0)
 
@@ -125,7 +127,7 @@ def principled_pdf(
     cos_o = jnp.maximum(jnp.sum(n * wo, axis=-1), 0.0)
     pdf_diff = cos_o * INV_PI
     h = wi + wo
-    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-9)
+    h = _normalize(h)
     n_dot_h = jnp.maximum(jnp.sum(n * h, axis=-1), 0.0)
     h_dot_o = jnp.maximum(jnp.sum(h * wo, axis=-1), 1e-6)
     alpha = jnp.clip(roughness[..., 0], 0.02, 1.0) ** 2

@@ -22,6 +22,8 @@ import flax.struct as struct
 import jax
 import jax.numpy as jnp
 
+from ..utils.math import normalize as _normalize
+
 
 # ---------------------------------------------------------------------------
 # equirect envmap
@@ -140,7 +142,7 @@ class VMFMixture:
     def _lobe_dirs(self, x: jax.Array) -> jax.Array:
         """(N, 3) shading points -> (N, K, 3) unit dirs to each lobe."""
         v = self.positions[None, :, :] - x[:, None, :]
-        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+        return _normalize(v)
 
     def _kappas(self) -> jax.Array:
         return 1.0 / jnp.maximum(self.stds**2, 1e-6)

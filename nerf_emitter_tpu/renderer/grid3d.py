@@ -73,10 +73,18 @@ def sdf_eval_nearest(sdf: jax.Array, points: jax.Array) -> jax.Array:
     return jnp.take(g.reshape(-1), flat, axis=0)
 
 
-def sdf_normal(sdf: jax.Array, points: jax.Array, eps: float = 1e-9) -> jax.Array:
-    """Unit surface normal = normalized spatial gradient of the SDF."""
+def sdf_normal(sdf: jax.Array, points: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Unit surface normal = normalized spatial gradient of the SDF.
+
+    NaN-safe normalization: at clamped/flat points the trilinear gradient is
+    exactly zero, and `g / max(|g|, eps)` still produces NaN in the BACKWARD
+    pass (the vjp of |g| at g=0 is 0/0, and 0-cotangent times NaN is NaN).
+    rsqrt(max(g.g, eps)) routes the zero-gradient branch through `max`,
+    which kills the cotangent instead.
+    """
     g = sdf_gradient(sdf, points)
-    return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), eps)
+    n2 = jnp.sum(g * g, axis=-1, keepdims=True)
+    return g * jax.lax.rsqrt(jnp.maximum(n2, eps))
 
 
 def sdf_gradient(sdf: jax.Array, points: jax.Array) -> jax.Array:

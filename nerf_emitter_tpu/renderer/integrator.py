@@ -33,8 +33,10 @@ from .bsdf import (
     principled_pdf,
     principled_sample,
 )
+from ..utils.math import normalize as _normalize
 from .grid3d import grid_sample, sdf_normal
 from .scene import DIFFUSE, SdfScene
+from .reparam import WarpConfig, reparam_direction
 from .sphere_trace import (
     SphereTraceConfig,
     differentiable_hit_t,
@@ -62,6 +64,17 @@ class RenderConfig:
     # moderate+ (its estimator is unbiased but heavier-tailed, so at very
     # low spp 'both' converges better).
     mis_mode: str = "both"
+    # Silhouette-gradient treatment (the reference's warp-field configs,
+    # diff-sdf configs.py 'warponemis'):
+    # 'warp' = warp-field reparameterization of primary (and optionally
+    #   secondary) ray directions — unbiased boundary gradients on the RGB
+    #   image itself (primal renders are bit-identical);
+    # 'soft' = no reparameterization; boundary signal only flows through
+    #   the soft_mask output (cheaper; needs a mask loss to see shape).
+    reparam: str = "warp"
+    warp: WarpConfig = WarpConfig()
+    # also reparameterize emitter/BSDF sample rays (shadow-edge gradients)
+    warp_secondary: bool = True
 
 
 def _bsdf_eval(scene: SdfScene, x, n, wi, wo):
@@ -95,7 +108,7 @@ def _emitter_sample(key, scene: SdfScene, x):
         return d, pdf
     # fallback: uniform sphere
     d = jax.random.normal(key, x.shape)
-    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    d = _normalize(d)
     return d, jnp.full(x.shape[:-1], 1.0 / (4.0 * jnp.pi))
 
 
@@ -125,6 +138,7 @@ def render_direct(
     n_rays = origins.shape[0]
     k_strat, k_bsdf, k_emit = jax.random.split(key, 3)
     one_sample = config.mis_mode == "one_sample"
+    use_warp = config.reparam == "warp"
 
     def radiance(x, d):
         if emitter_fn is not None:
@@ -133,19 +147,42 @@ def render_direct(
             return scene.envmap.eval(d)
         return jnp.zeros((*d.shape[:-1], 3))
 
+    # ---- warp-field reparameterization of the primary directions: primal
+    # values unchanged, derivatives pick up the silhouette boundary terms
+    # (reference 'warponemis'; see reparam.py)
+    if use_warp:
+        dirs, jac = reparam_direction(
+            scene.sdf, origins, directions, config.trace, config.warp
+        )
+    else:
+        dirs, jac = directions, None
+
+    def warp_secondary(x_from, d):
+        """Reparameterize a secondary (shadow/emitter) direction; pdfs are
+        still evaluated at the primal d (the sampled variable)."""
+        if use_warp and config.warp_secondary:
+            return reparam_direction(
+                scene.sdf, x_from, d, config.trace, config.warp
+            )
+        return d, None
+
     # ---- primary intersection (differentiable) + soft silhouette
     t_star, hit, t_closest = sphere_trace_with_closest(
-        scene.sdf, origins, directions, config.trace
+        scene.sdf, origins, dirs, config.trace
     )
-    t = differentiable_hit_t(scene.sdf, origins, directions, t_star)
-    x = origins + t[:, None] * directions
+    t = differentiable_hit_t(scene.sdf, origins, dirs, t_star)
+    x = origins + t[:, None] * dirs
+    # soft_mask stays on the UNWARPED directions: its smoothed-boundary
+    # gradient is already well-defined, and mixing in the warp's (noisier)
+    # divergence term measurably degrades mask-supervised convergence
+    # (A/B at spp 4: mask loss plateaus 4x higher with warped dirs here).
     soft_mask = soft_visibility(
         scene.sdf, origins, directions, t_closest, hit, beta=config.soft_beta
     )
     n = sdf_normal(scene.sdf, x)
     # flip normal toward the viewer
-    n = jnp.where(jnp.sum(n * directions, axis=-1, keepdims=True) > 0, -n, n)
-    wi = -directions
+    n = jnp.where(jnp.sum(n * dirs, axis=-1, keepdims=True) > 0, -n, n)
+    wi = -dirs
 
     x_off = x + config.shadow_eps * n
 
@@ -161,46 +198,55 @@ def render_direct(
         d = jnp.where(sel[:, None], d_e, d_b)
         pdf_e_d = _emitter_pdf(scene, x_off, d)
         pdf_b_d = _bsdf_pdf(scene, x, n, wi, d)
-        f = _bsdf_eval(scene, x, n, wi, d)
+        d_w, jac_s = warp_secondary(x_off, d)
+        f = _bsdf_eval(scene, x, n, wi, d_w)
         if config.use_visibility:
-            _, occluded = sphere_trace(scene.sdf, x_off, d, config.trace)
+            _, occluded = sphere_trace(scene.sdf, x_off, d_w, config.trace)
         else:
             occluded = jnp.zeros(n_rays, bool)
-        le = radiance(x_off, d)
+        le = radiance(x_off, d_w)
         w = 2.0 / jnp.maximum(pdf_e_d + pdf_b_d, 1e-9)
         surface_rgb = jnp.where(occluded[:, None], 0.0, f * le * w[:, None])
+        if jac_s is not None:
+            surface_rgb = surface_rgb * jac_s[:, None]
     else:
         # ---- strategy A: emitter sampling
         d_e, pdf_e = _emitter_sample(k_emit, scene, x_off)
-        f_e = _bsdf_eval(scene, x, n, wi, d_e)
         pdf_e_b = _bsdf_pdf(scene, x, n, wi, d_e)
+        d_e_w, jac_e = warp_secondary(x_off, d_e)
+        f_e = _bsdf_eval(scene, x, n, wi, d_e_w)
         if config.use_visibility:
-            _, occluded_e = sphere_trace(scene.sdf, x_off, d_e, config.trace)
+            _, occluded_e = sphere_trace(scene.sdf, x_off, d_e_w, config.trace)
         else:
             occluded_e = jnp.zeros(n_rays, bool)
-        le = radiance(x_off, d_e)
+        le = radiance(x_off, d_e_w)
         w_mis_e = pdf_e / jnp.maximum(pdf_e + pdf_e_b, 1e-9)
         contrib_e = jnp.where(
             occluded_e[:, None],
             0.0,
             f_e * le * (w_mis_e / jnp.maximum(pdf_e, 1e-9))[:, None],
         )
+        if jac_e is not None:
+            contrib_e = contrib_e * jac_e[:, None]
 
         # ---- strategy B: BSDF sampling
         d_b, pdf_b = _bsdf_sample(k_bsdf, scene, x, n, wi)
-        f_b = _bsdf_eval(scene, x, n, wi, d_b)
         pdf_b_e = _emitter_pdf(scene, x_off, d_b)
+        d_b_w, jac_b = warp_secondary(x_off, d_b)
+        f_b = _bsdf_eval(scene, x, n, wi, d_b_w)
         if config.use_visibility:
-            _, occluded_b = sphere_trace(scene.sdf, x_off, d_b, config.trace)
+            _, occluded_b = sphere_trace(scene.sdf, x_off, d_b_w, config.trace)
         else:
             occluded_b = jnp.zeros(n_rays, bool)
-        lb = radiance(x_off, d_b)
+        lb = radiance(x_off, d_b_w)
         w_mis_b = pdf_b / jnp.maximum(pdf_b + pdf_b_e, 1e-9)
         contrib_b = jnp.where(
             occluded_b[:, None],
             0.0,
             f_b * lb * (w_mis_b / jnp.maximum(pdf_b, 1e-9))[:, None],
         )
+        if jac_b is not None:
+            contrib_b = contrib_b * jac_b[:, None]
 
         surface_rgb = contrib_e + contrib_b
 
@@ -208,13 +254,22 @@ def render_direct(
     if scene.hide_emitters:
         miss_rgb = jnp.zeros((n_rays, 3))
     else:
-        miss_rgb = radiance(origins, directions)
+        miss_rgb = radiance(origins, dirs)
 
     rgb = jnp.where(hit[:, None], surface_rgb, miss_rgb)
+    hit_f = hit.astype(rgb.dtype)
+    if jac is not None:
+        # area factor of the primary warp (primal 1): carries the
+        # silhouette boundary gradient of BOTH the image and the alpha
+        rgb = rgb * jac[:, None]
+        alpha = hit_f * jac
+    else:
+        alpha = soft_mask
 
     return {
         "rgb": rgb,
         "hit": hit,
+        "alpha": alpha,
         "soft_mask": soft_mask,
         "depth": jnp.where(hit, t, 0.0),
         "normal": jnp.where(hit[:, None], n, 0.0),
@@ -252,6 +307,8 @@ def render_spp(
     return {
         "rgb": rgb,
         "hit": outs["hit"][0],
+        # alpha is stochastic only through the warp jacobian: average it
+        "alpha": jnp.mean(outs["alpha"], axis=0),
         "soft_mask": outs["soft_mask"][0],
         "depth": outs["depth"][0],
         "normal": outs["normal"][0],

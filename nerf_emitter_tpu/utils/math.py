@@ -46,9 +46,15 @@ def luminance(rgb: jax.Array) -> jax.Array:
     return jnp.sum(rgb * _LUMA, axis=-1)
 
 
-def normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
-    """L2-normalize the last axis."""
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+def normalize(v: jax.Array, eps: float = 1e-24) -> jax.Array:
+    """L2-normalize the last axis, NaN-safe in the backward pass.
+
+    `v / max(|v|, eps)` still emits NaN gradients at v = 0 (vjp of |v| is
+    0/0 there, and 0-cotangent * NaN = NaN); rsqrt(max(v.v, eps)) routes the
+    degenerate branch through `max`, which zeroes the cotangent instead.
+    """
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    return v * jax.lax.rsqrt(jnp.maximum(n2, eps))
 
 
 def expected_sin(mean: jax.Array, var: jax.Array) -> jax.Array:

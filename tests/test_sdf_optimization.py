@@ -31,7 +31,10 @@ from nerf_emitter_tpu.renderer.sphere_trace import SphereTraceConfig
 
 H = W = 32
 TRACE = SphereTraceConfig(max_steps=48, t_max=3.0)
-RCONF = RenderConfig(trace=TRACE)
+# soft reparam: at this test's spp=4 the warp estimator's variance stalls
+# convergence (TPU A/B: last5/first 0.34 soft vs 0.67 warp); the warp's
+# gradient CORRECTNESS is covered by tests/test_reparam.py instead.
+RCONF = RenderConfig(trace=TRACE, reparam="soft")
 SCALE = 1.0  # world [-1,1] -> unit cube
 
 
