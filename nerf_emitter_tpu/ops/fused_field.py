@@ -67,14 +67,24 @@ def _eye(n: int, dtype) -> jax.Array:
 def _freq_rows(x2: jax.Array, num_freqs: int) -> jax.Array:
     """x2: (3, T) in [-1,1] -> encoding rows (3 + 6F, T), matching
     encodings.nerf_encode ordering ([x, sin(d-major,f-minor), cos]).
-    Frequencies are python scalars (2^0..2^{F-1} — nerf_encode with
-    max_freq_exp = F-1) so no array constants enter the kernel."""
-    sin_rows, cos_rows = [], []
-    for k in range(3):
-        for i in range(num_freqs):
-            s = x2[k] * float(2.0 ** i * 2.0 * jnp.pi)
-            sin_rows.append(jnp.sin(s))
-            cos_rows.append(jnp.cos(s))
+
+    Octaves come from the double-angle recurrence sin(2a)=2 sin a cos a,
+    cos(2a)=1-2 sin^2 a off ONE base sin/cos per dim: direct per-octave
+    sin/cos was 90% of the density-kernel wall time (VPU transcendentals
+    with range reduction up to 2^{F-1} * 2pi rad); the recurrence is 3
+    mul-adds per octave. Accumulated roundoff (~3e-3 rel at F=10) sits
+    below the bf16 quantization the MLP applies to these rows anyway.
+    Used by BOTH the Pallas kernels and the plain-jnp VJP references, so
+    forward/backward stay on the same math graph."""
+    theta = x2 * (2.0 * jnp.pi)
+    s, c = jnp.sin(theta), jnp.cos(theta)  # (3, T) each
+    ss, cs = [s], [c]
+    for _ in range(num_freqs - 1):
+        s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+        ss.append(s)
+        cs.append(c)
+    sin_rows = [ss[i][k] for k in range(3) for i in range(num_freqs)]
+    cos_rows = [cs[i][k] for k in range(3) for i in range(num_freqs)]
     return jnp.concatenate(
         [x2, jnp.stack(sin_rows, axis=0), jnp.stack(cos_rows, axis=0)], axis=0
     )

@@ -155,24 +155,21 @@ def sample_pdf(
 
     # Inverse-CDF lookup WITHOUT gathers. TPU has no gather engine: both a
     # vmapped binary search (sequential while-loops, ~220ms here) and
-    # take_along_axis (row gathers, ~60ms) are poison. cdf and bins are
-    # monotone in the bin axis, so the bracketing values are masked
-    # max/min reductions over a broadcast compare — pure VPU work that XLA
-    # fuses without materializing the (N, S, B) mask.
-    below_mask = cdf[..., None, :] <= u[..., :, None]  # (N, S, B)
-    neg = jnp.float32(-1e10)
-    pos = jnp.float32(1e10)
-    cdf_g0 = jnp.max(jnp.where(below_mask, cdf[..., None, :], neg), axis=-1)
-    bins_g0 = jnp.max(jnp.where(below_mask, existing_bins[..., None, :], neg), axis=-1)
-    cdf_g1 = jnp.min(jnp.where(below_mask, pos, cdf[..., None, :]), axis=-1)
-    bins_g1 = jnp.min(jnp.where(below_mask, pos, existing_bins[..., None, :]), axis=-1)
-    # edges: u below cdf[0] (impossible: cdf[0]=0<=u) / above cdf[-1]
-    no_above = cdf_g1 >= pos
-    cdf_g1 = jnp.where(no_above, cdf_g0 + 1.0, cdf_g1)
-    bins_g1 = jnp.where(no_above, bins_g0, bins_g1)
-
-    t = jnp.clip((u - cdf_g0) / jnp.where(cdf_g1 - cdf_g0 < eps, 1.0, cdf_g1 - cdf_g0), 0.0, 1.0)
-    new_bins = bins_g0 + t * (bins_g1 - bins_g0)
+    # take_along_axis (row gathers, ~60ms) are poison. The piecewise-linear
+    # inverse of a monotone CDF is EXACTLY a sum of clamped ramps,
+    #   t(u) = bins[0] + sum_b (bins[b+1]-bins[b]) *
+    #                    clamp((u - cdf[b]) / (cdf[b+1]-cdf[b]), 0, 1),
+    # (full segments below u add their whole width, the containing segment
+    # adds its fraction, segments above add 0). One fused fma chain over
+    # the broadcast (N, S, B) — ~2x fewer VPU ops than bracketing each u
+    # with masked max/min reductions, and no edge-case handling at all.
+    d_cdf = cdf[..., 1:] - cdf[..., :-1]  # (n_rays, n_bins) >= 0
+    d_bins = existing_bins[..., 1:] - existing_bins[..., :-1]
+    inv_d_cdf = 1.0 / jnp.maximum(d_cdf, eps)  # empty segments: ramp ~ step
+    frac = (u[..., :, None] - cdf[..., None, :-1]) * inv_d_cdf[..., None, :]
+    new_bins = existing_bins[..., :1] + jnp.sum(
+        d_bins[..., None, :] * jnp.clip(frac, 0.0, 1.0), axis=-1
+    )
 
     if include_original:
         new_bins = jnp.sort(jnp.concatenate([existing_bins, new_bins], axis=-1), axis=-1)
