@@ -243,14 +243,20 @@ def make_render_fn(
 
 
 def eval_image_metrics(pred: jax.Array, gt: jax.Array, is_hdr: bool = True) -> dict:
-    """PSNR/SSIM/MAPE; HDR images are sRGB-tonemapped first for PSNR/SSIM
-    (reference nerfacto.py:417-434,:480-526 linear_to_srgb metrics)."""
+    """PSNR/SSIM/MAPE/perceptual; HDR images are sRGB-tonemapped first for
+    PSNR/SSIM/LPIPS (reference nerfacto.py:417-434,:480-526 linear_to_srgb
+    metrics; LPIPS via torchmetrics at :292-295 — see utils/perceptual.py
+    for the weight-free stand-in used here)."""
+    from ..utils.perceptual import lpips
+
     if is_hdr:
         pred_t, gt_t = linear_to_srgb(pred), linear_to_srgb(gt)
     else:
         pred_t, gt_t = pred, gt
+    perceptual, perceptual_name = lpips(pred_t, gt_t)
     return {
         "psnr": psnr(pred_t, gt_t),
         "ssim": ssim(pred_t, gt_t),
         "mape": mape(pred, gt),
+        perceptual_name: perceptual,
     }

@@ -38,8 +38,13 @@ def _load(args):
     return trainer
 
 
-def _save_image(path: Path, rgb: np.ndarray, is_hdr: bool):
+def _save_image(path: Path, rgb: np.ndarray, is_hdr: bool) -> np.ndarray:
+    """Write EXR (HDR) or PNG; returns the sRGB-tonemapped uint8 frame
+    either way (for video muxing)."""
     path.parent.mkdir(parents=True, exist_ok=True)
+    from ..utils.math import linear_to_srgb
+
+    frame = (np.asarray(linear_to_srgb(jnp.asarray(rgb))) * 255).astype(np.uint8)
     if is_hdr:
         from ..utils import exr
 
@@ -47,10 +52,16 @@ def _save_image(path: Path, rgb: np.ndarray, is_hdr: bool):
     else:
         from PIL import Image
 
-        from ..utils.math import linear_to_srgb
+        Image.fromarray(frame).save(path.with_suffix(".png"))
+    return frame
 
-        arr = np.asarray(linear_to_srgb(jnp.asarray(rgb))) * 255
-        Image.fromarray(arr.astype(np.uint8)).save(path.with_suffix(".png"))
+
+def _maybe_mux(args, frames: list, out_dir: Path, name: str):
+    if getattr(args, "video", False) and frames:
+        from ..utils.video import write_mjpeg_avi
+
+        p = write_mjpeg_avi(out_dir / f"{name}.avi", frames, fps=args.fps)
+        print(f"muxed {len(frames)} frames -> {p}")
 
 
 def cmd_eval(args):
@@ -80,6 +91,7 @@ def cmd_rotate_light(args):
     base_emitter = pipeline._emitter_fn_of(pipeline.nerf_state.params)
     out_dir = Path(args.output_path)
     key = jax.random.PRNGKey(0)
+    frames: list = []
     for fi in range(args.n_frames):
         angle = 2.0 * np.pi * fi / args.n_frames
         c, s = np.cos(angle), np.sin(angle)
@@ -103,8 +115,9 @@ def cmd_rotate_light(args):
             emitter_fn=rotated_emitter, config=pipeline.render_config,
         )
         rgb = np.asarray(out["rgb"]).reshape(cams.height, cams.width, 3)
-        _save_image(out_dir / f"frame_{fi:04d}", rgb, ds.is_hdr)
+        frames.append(_save_image(out_dir / f"frame_{fi:04d}", rgb, ds.is_hdr))
     print(f"wrote {args.n_frames} relit frames to {out_dir}")
+    _maybe_mux(args, frames, out_dir, "rotate_light")
 
 
 def cmd_envmap(args):
@@ -153,11 +166,14 @@ def cmd_camera_path(args):
     path_ds = ImageDataset(cameras=cams, images=ds.images[:1], is_hdr=ds.is_hdr)
     key = jax.random.PRNGKey(0)
     out_dir = Path(args.output_path)
+    frames: list = []
     for i in range(n):
         key, k = jax.random.split(key)
         out = trainer.pipeline.render_camera_outputs(path_ds, i, k, spp=args.spp)
-        _save_image(out_dir / f"path_{i:04d}", np.asarray(out["rgb"]), ds.is_hdr)
+        rgb = np.asarray(out["rgb"])
+        frames.append(_save_image(out_dir / f"path_{i:04d}", rgb, ds.is_hdr))
     print(f"wrote {n} path frames to {out_dir}")
+    _maybe_mux(args, frames, out_dir, "camera_path")
 
 
 def cmd_stroke(args):
@@ -224,6 +240,9 @@ def main(argv=None):
         sub.add_argument("--cy", type=float, default=0.5)
         sub.add_argument("--cz", type=float, default=0.5)
         sub.add_argument("--stroke-path", type=Path, default=Path("stroke.json"))
+        sub.add_argument("--video", action="store_true",
+                         help="also mux frames into an MJPEG AVI")
+        sub.add_argument("--fps", type=int, default=24)
         sub.set_defaults(fn=fn)
     args = ap.parse_args(argv)
     args.fn(args)

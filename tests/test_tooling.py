@@ -207,3 +207,169 @@ def test_writer_and_profiler(tmp_path):
 
     foo()
     assert "foo" in profiler.summary()
+
+
+def test_transform_scene_tool(tmp_path):
+    """transform_scene: poses are left-multiplied; calib rotations are
+    conjugated (relative transforms preserved under a world-frame change)."""
+    from nerf_emitter_tpu.scripts import transform_scene as ts
+
+    c2w = np.eye(4); c2w[:3, 3] = [1.0, 2.0, 3.0]
+    meta = {"frames": [{"file_path": "a.png", "transform_matrix": c2w.tolist()}]}
+    inp = tmp_path / "transforms.json"
+    inp.write_text(json.dumps(meta))
+    out = tmp_path / "out.json"
+    ts.main([
+        "--input", str(inp), "--output", str(out),
+        "--scale", "2.0", "--translate", "0", "0", "1",
+    ])
+    got = json.loads(out.read_text())
+    m = np.asarray(got["frames"][0]["transform_matrix"])
+    np.testing.assert_allclose(m[:3, 3], [2.0, 4.0, 7.0])
+    np.testing.assert_allclose(m[:3, :3], 2.0 * np.eye(3))
+
+    # exclude-scale keeps rotation orthonormal but still moves positions
+    out2 = tmp_path / "out2.json"
+    ts.main([
+        "--input", str(inp), "--output", str(out2),
+        "--scale", "2.0", "--exclude-scale",
+    ])
+    m2 = np.asarray(json.loads(out2.read_text())["frames"][0]["transform_matrix"])
+    np.testing.assert_allclose(m2[:3, :3], np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(m2[:3, 3], [2.0, 4.0, 6.0])
+
+    # conjugation: relative rotation between two calib entries is invariant
+    th = 0.3
+    rot = np.eye(4)
+    rot[:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+    calib = {"rotations": {"0": np.eye(4).tolist(), "45": rot.tolist()}}
+    T = np.eye(4); T[:3, 3] = [5.0, 0.0, 0.0]
+    conj = ts.conjugate_rotations(calib, T)
+    r0 = np.asarray(conj["rotations"]["0"])
+    r45 = np.asarray(conj["rotations"]["45"])
+    rel = np.linalg.inv(r0) @ r45
+    np.testing.assert_allclose(rel[:3, :3], rot[:3, :3], atol=1e-12)
+
+
+def test_inner_outer_box_tool():
+    from nerf_emitter_tpu.scripts.inner_outer_box import outer_in_inner
+
+    inner = np.diag([2.0, 2.0, 2.0, 1.0])  # inner box = [-2,2]^3
+    outer = np.diag([4.0, 4.0, 4.0, 1.0])  # outer box = [-4,4]^3
+    aabb, inv_inner = outer_in_inner(inner, outer)
+    np.testing.assert_allclose(aabb, [[-2, -2, -2], [2, 2, 2]])
+    np.testing.assert_allclose(inv_inner @ inner, np.eye(4), atol=1e-12)
+
+
+def test_stroke_order_and_from_mask(tmp_path):
+    from PIL import Image
+
+    from nerf_emitter_tpu.scripts import stroke_tool
+
+    # an L-shaped stroke: ordering must follow the polyline, not raster order
+    mask = np.zeros((32, 32), np.uint8)
+    mask[5, 5:20] = 255  # horizontal run
+    mask[5:25, 19] = 255  # vertical run
+    Image.fromarray(mask).save(tmp_path / "m.png")
+    out = tmp_path / "s.json"
+    stroke_tool.main([
+        "from-mask", "--mask", str(tmp_path / "m.png"),
+        "--camera-index", "2", "--step", "1", "--output", str(out),
+    ])
+    stroke = json.loads(out.read_text())
+    assert stroke["camera_index"] == 2
+    px = np.asarray(stroke["pixels"])
+    # consecutive points are neighbors (chained), and both ends are endpoints
+    gaps = np.linalg.norm(np.diff(px, axis=0), axis=1)
+    assert gaps.max() < 2.0
+    ends = {tuple(px[0]), tuple(px[-1])}
+    assert ends == {(5, 5), (24, 19)}
+
+
+def test_texture_atlas_bake(tmp_path):
+    from nerf_emitter_tpu.scripts.texture import (
+        bake_texture,
+        grid_atlas_uvs,
+        read_obj,
+        write_textured_obj,
+    )
+
+    # two triangles of a unit quad in [0,1]^3 at z=0.5
+    verts = np.array([[0.1, 0.1, 0.5], [0.9, 0.1, 0.5], [0.9, 0.9, 0.5], [0.1, 0.9, 0.5]])
+    faces = np.array([[0, 1, 2], [0, 2, 3]])
+    uvs, tex_size = grid_atlas_uvs(len(faces), px_per_tri=6)
+    assert uvs.shape == (2, 3, 2) and (uvs >= 0).all() and (uvs <= 1).all()
+
+    # color = world xyz -> texels must equal their surface point
+    tex = bake_texture(verts, faces, uvs, tex_size, lambda p: p.astype(np.float32), 6)
+    # check the texel at each face's uv centroid
+    for f in range(2):
+        c_uv = uvs[f].mean(0) * tex_size
+        texel = tex[int(c_uv[1]), int(c_uv[0])]
+        expect = verts[faces[f]].mean(0)
+        np.testing.assert_allclose(texel, expect, atol=0.15)
+
+    write_textured_obj(tmp_path, "mesh", verts, faces, uvs)
+    txt = (tmp_path / "mesh.obj").read_text()
+    assert "vt " in txt and "mtllib mesh.mtl" in txt
+    v2, f2 = read_obj(tmp_path / "mesh.obj")
+    np.testing.assert_allclose(v2, verts)
+    np.testing.assert_array_equal(f2, faces)
+
+
+def test_calib_markers_average_poses():
+    from nerf_emitter_tpu.scripts.calib_markers import average_poses
+
+    th = 0.2
+    r = np.eye(4)
+    r[:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+    avg = average_poses([r, r, r])
+    np.testing.assert_allclose(avg, r, atol=1e-12)
+    # mean of th and -th is identity rotation
+    r2 = np.eye(4)
+    r2[:2, :2] = [[np.cos(th), np.sin(th)], [-np.sin(th), np.cos(th)]]
+    avg2 = average_poses([r, r2])
+    np.testing.assert_allclose(avg2[:3, :3], np.eye(3), atol=1e-12)
+
+
+def test_perceptual_metric():
+    """lpips_rf: zero for identical images, larger for structural change
+    than for tiny noise, deterministic across calls."""
+    from nerf_emitter_tpu.utils.perceptual import lpips
+
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (64, 64, 3))
+    d0, name = lpips(img, img)
+    assert name == "lpips_rf"
+    assert float(d0) < 1e-10
+    noisy = jnp.clip(img + 0.01 * jax.random.normal(key, img.shape), 0, 1)
+    shuffled = img[::-1]  # structural: flipped
+    d_noise = float(lpips(img, noisy)[0])
+    d_struct = float(lpips(img, shuffled)[0])
+    assert 0 < d_noise < d_struct
+    assert float(lpips(img, noisy)[0]) == d_noise  # deterministic
+
+
+def test_mjpeg_avi_writer(tmp_path):
+    """The AVI has a valid RIFF structure and PIL can decode the first
+    embedded JPEG back to the frame."""
+    import io
+    import struct
+
+    from PIL import Image
+
+    from nerf_emitter_tpu.utils.video import write_mjpeg_avi
+
+    frames = [np.full((32, 48, 3), v, np.float32) for v in (0.2, 0.5, 0.8)]
+    p = write_mjpeg_avi(tmp_path / "out.avi", frames, fps=10)
+    data = p.read_bytes()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+    # find the first frame chunk and decode it
+    i = data.index(b"00dc")
+    size = struct.unpack("<I", data[i + 4 : i + 8])[0]
+    img = Image.open(io.BytesIO(data[i + 8 : i + 8 + size]))
+    arr = np.asarray(img)
+    assert arr.shape == (32, 48, 3)
+    assert abs(arr.mean() / 255.0 - 0.2) < 0.03
+    assert data.count(b"00dc") >= 6  # 3 movi chunks + 3 idx entries
