@@ -65,10 +65,11 @@ def bench_implementation(implementation: str) -> float:
     params = jax.jit(model.init)(jax.random.PRNGKey(1), rays)
 
     if implementation == "freq":
-        # fused Pallas field kernels (ops/fused_field.py) — the serving path
-        from nerf_emitter_tpu.ops.fused_field import make_fused_radiance_query
+        # megafused Pallas serving path (ops/mega_query.py): the whole
+        # proposal+field pipeline in two kernels
+        from nerf_emitter_tpu.ops.mega_query import make_mega_radiance_query
 
-        fused = make_fused_radiance_query(model)
+        fused = make_mega_radiance_query(model)
         emitter_query = jax.jit(lambda params, rays: fused(params, rays))
     else:
 

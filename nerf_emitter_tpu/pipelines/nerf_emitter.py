@@ -71,8 +71,9 @@ def make_nerf_emitter_fn(
       rotater.apply_sdf_scene / nerfemitter set_camera_idx,
       rotater.py:122-123),
     - `use_fused` (freq implementation only): serve the query through the
-      fused Pallas field kernels (ops/fused_field.py) — ~2x over the plain
-      XLA path; gradients recompute through the plain path (custom_vjp).
+      megafused Pallas kernels (ops/mega_query.py — the whole proposal +
+      field pipeline in two kernels, ~3x over the plain XLA path);
+      gradients recompute through the plain path (custom_vjp).
     """
     fused_query = None
     # TPU-backend gate: off-TPU the kernels would run in interpret mode
@@ -86,10 +87,10 @@ def make_nerf_emitter_fn(
     ):
         import numpy as _np
 
-        from ..ops.fused_field import make_fused_radiance_query
+        from ..ops.mega_query import make_mega_radiance_query
 
         _box = _np.asarray(object_aabb, _np.float32)
-        fused_query = make_fused_radiance_query(
+        fused_query = make_mega_radiance_query(
             model, disable_box=tuple(tuple(float(x) for x in row) for row in _box)
         )
 

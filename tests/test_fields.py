@@ -265,3 +265,41 @@ def test_fused_field_matches_model_apply():
         lambda o: jnp.sum(query(params, rays.replace(origins=o), camera_index=jnp.int32(1)))
     )(rays.origins)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_mega_query_matches_staged():
+    """The two-megakernel serving path (interpret mode on CPU) must match
+    the staged fused query, including ray counts that need tile padding."""
+    import numpy as np
+
+    from nerf_emitter_tpu.cameras.rays import RayBundle
+    from nerf_emitter_tpu.models.nerfacto import NerfactoModel
+    from nerf_emitter_tpu.ops.fused_field import make_fused_radiance_query
+    from nerf_emitter_tpu.ops.mega_query import make_mega_radiance_query
+
+    model = NerfactoModel(
+        aabb=AABB, num_nerf_samples=6, num_proposal_samples=(12, 8),
+        num_cameras=4, appearance_embedding_dim=8, implementation="freq",
+    )
+    n = 150  # not a multiple of the 128-ray tile
+    key = jax.random.PRNGKey(0)
+    d = jax.random.normal(key, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays = RayBundle(
+        origins=jnp.zeros((n, 3)), directions=d,
+        pixel_area=jnp.full((n, 1), 1e-4),
+        nears=jnp.full((n, 1), 0.05), fars=jnp.full((n, 1), 3.0),
+        camera_indices=jnp.ones((n, 1), jnp.int32),
+    )
+    params = model.init(jax.random.PRNGKey(1), rays)
+    staged = make_fused_radiance_query(model)
+    mega = make_mega_radiance_query(model)
+    a = staged(params, rays, camera_index=jnp.int32(1))
+    b = mega(params, rays, camera_index=jnp.int32(1))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-2, atol=1e-3)
+
+    # gradients flow through the staged-path recompute
+    g = jax.grad(
+        lambda o: jnp.sum(mega(params, rays.replace(origins=o), camera_index=jnp.int32(1)))
+    )(rays.origins)
+    assert np.isfinite(np.asarray(g)).all()
