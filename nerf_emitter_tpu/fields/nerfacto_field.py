@@ -232,8 +232,13 @@ class HashMLPDensityField(nn.Module):
     average_init_density: float = 1.0
     implementation: str = "hash"  # 'hash' | 'freq'
     freq_num_frequencies: int = 6
-    freq_hidden_dim: int = 64
-    freq_num_layers: int = 3
+    # One WIDE hidden layer, not two narrow ones: on the MXU a
+    # (enc -> 128 -> 1) proposal has ~40% fewer FLOPs than 64x64x2 AND
+    # fills all 128 output lanes (64-wide layers run at half utilization);
+    # measured equal proposal quality (it only guides sampling — the
+    # reference's hash proposal head is 16 wide x 2, density_fields.py).
+    freq_hidden_dim: int = 128
+    freq_num_layers: int = 2
 
     def setup(self):
         if self.implementation == "hash":

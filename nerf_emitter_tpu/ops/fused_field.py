@@ -90,6 +90,32 @@ def _freq_rows(x2: jax.Array, num_freqs: int) -> jax.Array:
     )
 
 
+def _freq_rows_fmajor(x2: jax.Array, num_freqs: int) -> jax.Array:
+    """Like _freq_rows but rows ordered [x, sin f-major (dim-minor), cos
+    f-major]: whole (3, T) octave blocks concatenate directly with no
+    per-row stack (each stack row is a sublane relayout; measured ~8% of
+    the density kernel). Callers must permute first-layer weight ROWS with
+    `fmajor_permutation(num_freqs)` to keep the same function."""
+    theta = x2 * (2.0 * jnp.pi)
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    ss, cs = [s], [c]
+    for _ in range(num_freqs - 1):
+        s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+        ss.append(s)
+        cs.append(c)
+    return jnp.concatenate([x2] + ss + cs, axis=0)
+
+
+def fmajor_permutation(num_freqs: int):
+    """Row permutation p with enc_fmajor[j] == enc_kmajor[p[j]]: apply as
+    W_fmajor = W_kmajor[p] on the first-layer weights (host side)."""
+    f = num_freqs
+    perm = list(range(3))
+    perm += [3 + k * f + i for i in range(f) for k in range(3)]  # sin block
+    perm += [3 + 3 * f + k * f + i for i in range(f) for k in range(3)]
+    return perm
+
+
 def _mlp_rowsT(enc: jax.Array, ws: Sequence[jax.Array], bs: Sequence[jax.Array]):
     """enc: (E, T) feature rows -> (out_dim, T) feature rows.
 
@@ -450,7 +476,10 @@ def make_fused_radiance_query(model, *, disable_box=None):
     # the model constructs the field without overriding them)
     import dataclasses as _dc
 
+    from ..fields.nerfacto_field import HashMLPDensityField as _HD
     from ..fields.nerfacto_field import NerfactoField as _NF
+
+    prop_layers = {f.name: f.default for f in _dc.fields(_HD)}["freq_num_layers"]
 
     _nf = {f.name: f.default for f in _dc.fields(_NF)}
     field_freqs = _nf["freq_num_frequencies"]
@@ -474,7 +503,7 @@ def make_fused_radiance_query(model, *, disable_box=None):
             if lvl > 0:
                 rs = sample_pdf(rays, rs, weights, n_prop[lvl])
             tree = p[f"proposal_{lvl}"]["mlp"]
-            ws, bs = _mlp_params(tree, 3)
+            ws, bs = _mlp_params(tree, prop_layers)
             dens = fused_density(
                 positions_t(rs), ws, bs,
                 prop_freqs[lvl], aabb_lo, aabb_inv_ext, dbox, 1.0,

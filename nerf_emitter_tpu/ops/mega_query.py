@@ -44,11 +44,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .fused_field import (
     SAFE_EXP_MAX,
     _contract_and_select,
-    _freq_rows,
+    _freq_rows_fmajor,
     _interpret,
     _mlp_params,
     _mlp_rowsT,
     _sh4_rows,
+    fmajor_permutation,
 )
 
 TILE_RAYS = 128  # one full lane group: (S, 128)->(S*128,) reshape is free
@@ -152,7 +153,7 @@ def _density_rows(
         x2, keep = _contract_and_select(
             pos[:, t0 : t0 + subtile], aabb_lo, aabb_inv_ext, disable_box
         )
-        enc = _freq_rows(x2, num_freqs)
+        enc = _freq_rows_fmajor(x2, num_freqs)  # first-layer W pre-permuted
         raw = _mlp_rowsT(enc, ws, bs)  # (1, subtile)
         dens = avg_density * jnp.exp(jnp.minimum(raw[0] - 1.0, SAFE_EXP_MAX))
         outs.append(jnp.where(keep, dens, 0.0))
@@ -227,7 +228,7 @@ def _field_composite_kernel(
     mid = (ebins[:-1] + ebins[1:]) / 2.0  # (s2, R)
     pos = (o[:, None, :] + d[:, None, :] * mid[None]).reshape(3, s2 * r)
     x2, keep = _contract_and_select(pos, aabb_lo, aabb_inv_ext, disable_box)
-    enc = _freq_rows(x2, freqs)
+    enc = _freq_rows_fmajor(x2, freqs)  # first-layer W pre-permuted
     base = _mlp_rowsT(enc, bw, bb)  # (1+geo, s2*R)
     dens = avg_density * jnp.exp(jnp.minimum(base[0] - 1.0, SAFE_EXP_MAX))
     dens = jnp.where(keep, dens, 0.0).reshape(s2, r)
@@ -282,6 +283,9 @@ def make_mega_radiance_query(model, *, disable_box=None):
     s0, s1 = model.num_proposal_samples
     s2 = model.num_nerf_samples
     prop_freqs = [4, 6]  # matches make_fused_radiance_query
+    from ..fields.nerfacto_field import HashMLPDensityField as _HD
+
+    prop_layers = {f.name: f.default for f in _dc.fields(_HD)}["freq_num_layers"]
     _nf = {f.name: f.default for f in _dc.fields(_NF)}
     field_freqs = _nf["freq_num_frequencies"]
     field_layers = _nf["freq_num_layers"]
@@ -307,8 +311,16 @@ def make_mega_radiance_query(model, *, disable_box=None):
         near_t = pad_t(rays.nears, fill=0.1)
         far_t = pad_t(rays.fars, fill=0.2)
 
-        ws0, bs0 = _mlp_params(p["proposal_0"]["mlp"], 3)
-        ws1, bs1 = _mlp_params(p["proposal_1"]["mlp"], 3)
+        def _perm_first(ws, freqs):
+            # kernels build f-major encoding rows; permute layer-1 weight
+            # rows to match (fused_field.fmajor_permutation)
+            perm = jnp.asarray(fmajor_permutation(freqs), jnp.int32)
+            return (ws[0][perm],) + tuple(ws[1:])
+
+        ws0, bs0 = _mlp_params(p["proposal_0"]["mlp"], prop_layers)
+        ws1, bs1 = _mlp_params(p["proposal_1"]["mlp"], prop_layers)
+        ws0 = _perm_first(ws0, prop_freqs[0])
+        ws1 = _perm_first(ws1, prop_freqs[1])
         full = lambda shape: pl.BlockSpec(
             shape, functools.partial(lambda i, _r: (0,) * _r, _r=len(shape)),
             memory_space=pltpu.VMEM,
@@ -338,6 +350,7 @@ def make_mega_radiance_query(model, *, disable_box=None):
 
         f = p["field"]
         bws, bbs = _mlp_params(f["base_mlp"], field_layers)
+        bws = _perm_first(bws, field_freqs)
         hws, hbs = _mlp_params(f["head_mlp"], head_layers)
         if model.appearance_embedding_dim > 0:
             table = f["appearance_embedding"]["embedding"]
