@@ -1,0 +1,250 @@
+"""Capture processing: Metashape XML (incl. turntable) -> dataset.
+
+Scoped re-design of the reference's `scripts/process_data.py` +
+`process_data/metashape_utils.py` (3041 LoC): the converters the paper's
+real-capture flow actually uses, with no external binaries.
+
+- `metashape`: one Metashape camera XML -> transforms.json (chunk
+  transform + per-camera poses + sensor intrinsics; CV->GL axis flip;
+  optional extra affine, e.g. inv_inner_box_transform from
+  inner_outer_box.py; PIL image downscale pyramid).
+- `rotated-metashape`: the paper's turntable capture
+  (ProcessRotatedMetashape, process_data.py:318-480): per-rotation XML
+  pairs (solved-before-rotation, solved-after) -> merged transforms.json
+  with per-frame `rotation` tags, calibrated `rotations` matrices
+  (before @ inv(after) per rotation) and `rotation_aabb`.
+- `images`: a poses JSON ({"frames": [{"file_path", "transform_matrix"}],
+  intrinsics...}) -> transforms.json + downscales.
+
+COLMAP-based conversion needs the colmap binary (not in this image); the
+subcommand exists but exits with instructions when colmap is missing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import subprocess
+import xml.etree.ElementTree as ET
+from pathlib import Path
+
+import numpy as np
+
+# OpenCV/Metashape camera (+z forward, +y down) -> OpenGL (-z forward)
+_CV2GL = np.diag([1.0, -1.0, -1.0, 1.0])
+
+
+def _chunk_transform(root) -> np.ndarray:
+    """4x4 chunk/component transform (rotation + translation + scale)."""
+    m = np.eye(4)
+    for tag in ("components/component/transform", "transform"):
+        t = root.find(f"chunk/{tag}")
+        if t is None:
+            continue
+        r = t.find("rotation")
+        tr = t.find("translation")
+        s = t.find("scale")
+        if r is not None:
+            m[:3, :3] = np.fromstring(r.text, sep=" ").reshape(3, 3)
+        if s is not None:
+            m[:3, :3] *= float(s.text)
+        if tr is not None:
+            m[:3, 3] = np.fromstring(tr.text, sep=" ")
+        break
+    return m
+
+
+def _sensors(root) -> dict:
+    out = {}
+    for sensor in root.findall("chunk/sensors/sensor"):
+        sid = sensor.get("id")
+        calib = sensor.find("calibration")
+        if calib is None:
+            continue
+        res = calib.find("resolution")
+        w = float(res.get("width"))
+        h = float(res.get("height"))
+        get = lambda k, d=0.0: float(calib.find(k).text) if calib.find(k) is not None else d
+        f = get("f")
+        out[sid] = {
+            "w": int(w), "h": int(h), "fl_x": f, "fl_y": f,
+            "cx": w / 2.0 + get("cx"), "cy": h / 2.0 + get("cy"),
+            "k1": get("k1"), "k2": get("k2"), "k3": get("k3"),
+            "p1": get("p1"), "p2": get("p2"),
+        }
+    return out
+
+
+def metashape_xml_to_frames(xml_path: Path, extra_transform: np.ndarray | None = None):
+    """Parse a Metashape camera XML -> (frames list, shared intrinsics).
+
+    Mirrors process_data/metashape_utils.metashape_to_json:36-170: world
+    pose = chunk_transform @ camera_transform, then the CV->GL flip;
+    `extra_transform` (e.g. inv inner-box) is applied on the left.
+    """
+    root = ET.parse(xml_path).getroot()
+    chunk = _chunk_transform(root)
+    sensors = _sensors(root)
+    extra = np.eye(4) if extra_transform is None else extra_transform
+
+    frames = []
+    intrinsics = None
+    for cam in root.findall("chunk/cameras/camera") + root.findall(
+        "chunk/cameras/group/camera"
+    ):
+        t = cam.find("transform")
+        if t is None or cam.get("enabled") in ("false", "0"):
+            continue
+        label = cam.get("label")
+        sid = cam.get("sensor_id")
+        if sid in sensors and intrinsics is None:
+            intrinsics = sensors[sid]
+        m = np.fromstring(t.text, sep=" ").reshape(4, 4)
+        c2w = extra @ chunk @ m @ _CV2GL
+        frames.append({"file_path": label, "transform_matrix": c2w.tolist()})
+    return frames, (intrinsics or {})
+
+
+def _downscale_images(src_dir: Path, out_dir: Path, num_downscales: int, prefix=""):
+    from PIL import Image
+
+    images = sorted(
+        p for p in src_dir.iterdir()
+        if p.suffix.lower() in (".png", ".jpg", ".jpeg", ".exr", ".tif")
+    )
+    (out_dir / "images").mkdir(parents=True, exist_ok=True)
+    names = []
+    for p in images:
+        name = f"{prefix}{p.name}"
+        shutil.copy2(p, out_dir / "images" / name)
+        names.append(name)
+        if p.suffix.lower() == ".exr":
+            continue  # HDR pyramid handled by the dataparser at load time
+        img = Image.open(p)
+        for d in range(1, num_downscales + 1):
+            dd = out_dir / f"images_{2**d}"
+            dd.mkdir(exist_ok=True)
+            img.resize((img.width // 2**d, img.height // 2**d)).save(dd / name)
+    return names
+
+
+def cmd_metashape(args):
+    frames, intr = metashape_xml_to_frames(
+        args.xml,
+        np.loadtxt(args.extra_transform) if args.extra_transform else None,
+    )
+    names = []
+    if args.data is not None:
+        names = _downscale_images(args.data, args.output_dir, args.num_downscales)
+        by_stem = {Path(n).stem: n for n in names}
+        frames = [
+            {**fr, "file_path": f"images/{by_stem[fr['file_path']]}"}
+            for fr in frames
+            if fr["file_path"] in by_stem
+        ]
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+    meta = {**intr, "camera_model": "OPENCV", "frames": frames}
+    (args.output_dir / "transforms.json").write_text(json.dumps(meta, indent=2))
+    print(f"{len(frames)} frames -> {args.output_dir / 'transforms.json'}")
+
+
+def cmd_rotated_metashape(args):
+    """Merge per-rotation solves and calibrate turntable transforms."""
+    inv_inner = np.loadtxt(args.inner_outer_path / "inv_inner_box_transform.txt")
+    outer_aabb = np.loadtxt(args.inner_outer_path / "outer_box_aabb.txt")
+    res = None
+    rotations = {}
+    for name in args.rotation_names:
+        frames, intr = metashape_xml_to_frames(
+            Path(str(args.xml).format(name)), inv_inner
+        )
+        frames_rot, _ = metashape_xml_to_frames(
+            Path(str(args.rotation_xml).format(name)), inv_inner
+        )
+        for fr in frames:
+            fr["rotation"] = name
+        if res is None:
+            res = {**intr, "camera_model": "OPENCV", "frames": frames}
+        else:
+            res["frames"].extend(frames)
+        # the SAME physical camera solved before/after the turntable moved:
+        # the world-frame rotation transform is before @ inv(after)
+        # (reference process_data.py:461-468)
+        if frames[0]["file_path"] != frames_rot[0]["file_path"]:
+            raise SystemExit(f"rotation {name}: camera label mismatch")
+        before = np.asarray(frames[0]["transform_matrix"])
+        after = np.asarray(frames_rot[0]["transform_matrix"])
+        rotations[name] = (before @ np.linalg.inv(after)).tolist()
+    res["rotations"] = rotations
+    res["rotation_aabb"] = outer_aabb.tolist()
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+    (args.output_dir / "transforms.json").write_text(json.dumps(res, indent=2))
+    print(
+        f"{len(res['frames'])} frames, {len(rotations)} rotations -> "
+        f"{args.output_dir / 'transforms.json'}"
+    )
+
+
+def cmd_images(args):
+    meta = json.loads(args.poses.read_text())
+    names = _downscale_images(args.data, args.output_dir, args.num_downscales)
+    by_name = {n: n for n in names}
+    frames = [
+        {**fr, "file_path": f"images/{by_name.get(Path(fr['file_path']).name, fr['file_path'])}"}
+        for fr in meta["frames"]
+    ]
+    out = {**{k: v for k, v in meta.items() if k != "frames"}, "frames": frames}
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+    (args.output_dir / "transforms.json").write_text(json.dumps(out, indent=2))
+    print(f"{len(frames)} frames -> {args.output_dir / 'transforms.json'}")
+
+
+def cmd_colmap(args):
+    if shutil.which("colmap") is None:
+        raise SystemExit(
+            "colmap binary not found. Install COLMAP for structure-from-motion"
+            " pose estimation, or use the 'metashape' / 'images' converters"
+            " with externally solved poses."
+        )
+    raise SystemExit("colmap conversion: run colmap, then use 'images' with the exported poses")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="process_data")
+    subs = ap.add_subparsers(dest="cmd", required=True)
+
+    ms = subs.add_parser("metashape")
+    ms.add_argument("--xml", type=Path, required=True)
+    ms.add_argument("--data", type=Path, default=None, help="image dir")
+    ms.add_argument("--extra-transform", type=Path, default=None,
+                    help="4x4 txt applied on the left (e.g. inv inner box)")
+    ms.add_argument("--num-downscales", type=int, default=3)
+    ms.add_argument("--output-dir", type=Path, required=True)
+    ms.set_defaults(fn=cmd_metashape)
+
+    rm = subs.add_parser("rotated-metashape")
+    rm.add_argument("--xml", type=str, required=True,
+                    help="template with {} for rotation name")
+    rm.add_argument("--rotation-xml", type=str, required=True)
+    rm.add_argument("--rotation-names", nargs="+", default=["0", "90", "180", "270"])
+    rm.add_argument("--inner-outer-path", type=Path, required=True)
+    rm.add_argument("--output-dir", type=Path, required=True)
+    rm.set_defaults(fn=cmd_rotated_metashape)
+
+    im = subs.add_parser("images")
+    im.add_argument("--data", type=Path, required=True)
+    im.add_argument("--poses", type=Path, required=True)
+    im.add_argument("--num-downscales", type=int, default=3)
+    im.add_argument("--output-dir", type=Path, required=True)
+    im.set_defaults(fn=cmd_images)
+
+    cm = subs.add_parser("colmap")
+    cm.set_defaults(fn=cmd_colmap)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
