@@ -172,6 +172,13 @@ def parse_instant_ngp(
             "downscale_factor": d,
             "envmap": meta.get("envmap"),
             "rotation_angles": np.asarray(uniq_rot, np.float32),
+            # dataset-declared object box (world): generators know the
+            # object's true extent; overrides the config default downstream
+            "object_aabb": (
+                np.asarray(meta["object_aabb"], np.float32)
+                if "object_aabb" in meta
+                else None
+            ),
         },
     )
 

@@ -103,6 +103,18 @@ class Trainer:
             optimize_camera_poses=m.optimize_camera_poses,
         )
         pipe_cfg = cfg.pipeline
+        # A dataset-declared object box (gen_data writes the object's true
+        # extent) overrides the config default — a carve-out box smaller
+        # than the object breaks TSDF init AND leaves object density in
+        # the NeRF emitter. Must happen before the Rotater (its center).
+        ds_box = train_out.metadata.get("object_aabb")
+        if ds_box is not None:
+            import dataclasses as _dc2
+
+            pipe_cfg = _dc2.replace(
+                pipe_cfg, object_aabb=tuple(map(tuple, np.asarray(ds_box)))
+            )
+            print(f"object_aabb from dataset: {np.asarray(ds_box).tolist()}")
         # turntable captures: build the Rotater from the dataparser's
         # rotation tags (angles) or calibrated matrices (reference
         # base_datamanager.py:478-496 rotater construction)

@@ -175,6 +175,14 @@ class NerfEmitterPipelineConfig:
     # reference's onesamplemis and the right choice when the emitter is the
     # NeRF; 'both' (deterministic MIS) for low-spp / envmap runs.
     mis_mode: str = "one_sample"
+    # Silhouette-gradient treatment of TAKEOVER renders. 'soft' (default):
+    # soft-visibility + mask loss — at this pipeline's spp (<=32) the warp
+    # estimator's divergence spikes measurably stall convergence (TPU A/B,
+    # spp 4: last5/first 0.34 soft vs 0.67 warp) and the warp triples the
+    # trace cost. 'warp' (+ warp_secondary): the reference's warponemis —
+    # the principled choice at Mitsuba-scale spp (256) or without masks.
+    reparam: str = "soft"
+    warp_secondary: bool = False
 
 
 class NerfEmitterPipeline:
@@ -204,7 +212,10 @@ class NerfEmitterPipeline:
         self.dataset = dataset
         self.mi_dataset = mi_dataset if mi_dataset is not None else dataset
         self.render_config = dataclasses.replace(
-            render_config, mis_mode=config.mis_mode
+            render_config,
+            mis_mode=config.mis_mode,
+            reparam=config.reparam,
+            warp_secondary=config.warp_secondary,
         )
 
         self.object_aabb = jnp.asarray(config.object_aabb, jnp.float32)
@@ -296,6 +307,7 @@ class NerfEmitterPipeline:
             depth_images,
             res=self.config.tsdf_init_res,
             scene_scale=self.config.scene_scale,
+            object_aabb=self.object_aabb,
         )
         # crop to the opt resolution
         from ..renderer.grid3d import sphere_sdf_grid, upsample_grid

@@ -29,11 +29,19 @@ def integrate_tsdf(
     scene_scale: float = 1.0,
     truncation: float | None = None,
     chunk: int = 1 << 18,
+    object_aabb: jax.Array | None = None,  # (2, 3) world box
 ) -> jax.Array:
     """Fuse depth maps into a TSDF on the unit cube -> (res, res, res, 1).
 
     depth is distance along the RAY (our renderers' convention), converted
     to z-depth via the view direction during projection.
+
+    object_aabb: voxels OUTSIDE this world box are always free. Without it
+    the ring-occluded volume (above/below the object, behind it from every
+    camera that sees it) accumulates 'behind'-only evidence and fuses
+    solid — measured 58% interior on a 48-view ring capture. The takeover
+    assumes the object lives inside its carve-out box, so the clamp loses
+    nothing.
     """
     h_img, w_img = depth_images.shape[1:3]
     if truncation is None:
@@ -116,6 +124,12 @@ def integrate_tsdf(
         num / jnp.maximum(den, 1e-6),
         jnp.where(behind > 0, -1.0, 1.0),
     )
+    if object_aabb is not None:
+        inside_box = jnp.all(
+            (vox_world > object_aabb[0]) & (vox_world < object_aabb[1]),
+            axis=-1,
+        )
+        tsdf = jnp.where(inside_box, tsdf, 1.0)
     # scale back to unit-cube distances
     return (tsdf * truncation / (2.0 * scene_scale)).reshape(res, res, res, 1)
 
@@ -126,10 +140,13 @@ def tsdf_init_sdf(
     res: int = 128,
     scene_scale: float = 1.0,
     redistance_iters: int = 100,
+    object_aabb: jax.Array | None = None,
 ) -> jax.Array:
     """TSDF fusion + eikonal redistancing -> a usable SDF init (the
     reference's fastsweep redistancing after marching cubes)."""
     from ..renderer.optimize import redistance
 
-    tsdf = integrate_tsdf(cameras, depth_images, res, scene_scale)
+    tsdf = integrate_tsdf(
+        cameras, depth_images, res, scene_scale, object_aabb=object_aabb
+    )
     return redistance(tsdf, n_iters=redistance_iters)

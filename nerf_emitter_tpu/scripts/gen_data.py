@@ -182,10 +182,29 @@ def main(argv=None):
         if i % 10 == 0:
             print(f"rendered {i}/{n}", flush=True)
 
+    # object box (world coords): true extent of the SDF's interior + 20%
+    # pad. Declared in the dataset so training's carve-out/TSDF box always
+    # CONTAINS the object (a too-small configured box breaks both).
+    sdf_np = np.asarray(sdf[..., 0])
+    res_sdf = sdf_np.shape[0]
+    neg = np.argwhere(sdf_np < 0)
+    if len(neg):
+        lo_u = neg.min(axis=0) / (res_sdf - 1)
+        hi_u = neg.max(axis=0) / (res_sdf - 1)
+        c_u = (lo_u + hi_u) / 2.0
+        half_u = (hi_u - lo_u) / 2.0 * 1.2 + 1.0 / res_sdf
+        # unit [0,1] -> world [-s, s]
+        lo_w = ((c_u - half_u) * 2.0 - 1.0) * scene_scale
+        hi_w = ((c_u + half_u) * 2.0 - 1.0) * scene_scale
+        object_aabb = [lo_w.tolist(), hi_w.tolist()]
+    else:
+        object_aabb = [[-0.3] * 3, [0.3] * 3]
+
     meta = {
         "fl_x": focal, "fl_y": focal, "w": w, "h": h,
         "cx": w / 2, "cy": h / 2,
         "envmap": "env.exr",
+        "object_aabb": object_aabb,
         "frames": frames,
     }
     with open(out / "transforms.json", "w") as f:
