@@ -139,17 +139,32 @@ class Trainer:
                 f"turntable: {len(np.unique(np.asarray(rot_ids)))} rotations, "
                 f"angles={list(np.asarray(md.get('rotation_angles', [])))}"
             )
+        # multi-chip: one SPMD mesh over all local devices; rays/pixels
+        # shard over the data axis, params replicate (the reference's
+        # mp.spawn + NCCL DDP + pad_scatter protocol as one program)
+        self.mesh = None
+        train_cfg = cfg.train
+        if jax.device_count() > 1:
+            import dataclasses as _dc3
+
+            from ..parallel.mesh import DATA_AXIS, make_mesh
+
+            self.mesh = make_mesh()
+            train_cfg = _dc3.replace(train_cfg, data_axis=DATA_AXIS)
+            print(f"mesh: {jax.device_count()} devices on axis '{DATA_AXIS}'")
         # the SDF render cube should tightly bound the OBJECT (the
         # reference's padded sdf scene), independent of the NeRF aabb;
         # scene_scale therefore comes from the pipeline config.
         self.pipeline = NerfEmitterPipeline(
             pipe_cfg,
             self.model,
-            cfg.train,
+            train_cfg,
             get_opt_config(cfg.opt_config_name),
             self.dataset,
             mi_dataset=self.mi_dataset,
             rotater=self.rotater,
+            mesh=self.mesh,
+            data_axis=(None if self.mesh is None else "data"),
         )
         self.pipeline.data_dir = cfg.datacfg.data  # env.exr lookup root
         from ..configs.cli import save_config

@@ -42,6 +42,13 @@ class VMFGuiding:
     use_spherical_rig: bool = False
     rebuild_every: int = 10  # mi-steps (reference proposal cadence)
     scene_scale: float = 1.0  # world [-s,s] -> unit cube mapping
+    # MIS compensation (reference guiding_mis_compensation,
+    # mitsuba_sdf.py:176,351): fit the proposal to the luminance EXCESS
+    # over the mean — the broad mean component is already covered by the
+    # BSDF sampling strategy of the MIS pair, so the guiding mixture
+    # should only chase concentrated lights (Karlik et al. 2019 style).
+    # Off: fit raw luminance (the proposal also covers diffuse sky).
+    mis_compensation: bool = True
 
     def build(
         self,
@@ -59,7 +66,10 @@ class VMFGuiding:
             downscale=self.downscale,
             use_spherical_rig=self.use_spherical_rig,
         )
-        pts, w = compensate_pc(pc["points"], pc["luminance"], self.max_points)
+        pts, w = compensate_pc(
+            pc["points"], pc["luminance"], self.max_points,
+            mean_mult=1.0 if self.mis_compensation else 0.0,
+        )
         # world -> render space (the emitter proposal lives with the SDF)
         pts_unit = coords.world_to_unit(pts, self.scene_scale)
         means, pis, stds = fit_spherical_gmm(key, pts_unit, w, self.n_clusters)

@@ -75,9 +75,5 @@ def exr_lib():
         lib.exr_compress_block.argtypes = [
             u8p, ctypes.c_int64, u8p, ctypes.c_int64,
         ]
-        lib.float_to_half.restype = None
-        lib.float_to_half.argtypes = [
-            f32p, ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
-        ]
         lib._configured = True
     return lib

@@ -121,7 +121,11 @@ int exr_decode_blocks(const uint8_t* buf, int64_t buf_len, int64_t pos0,
     if (size < 0 || pos + size > buf_len) return -2;
 
     const int y0 = y - ymin;
+    // A corrupt block y coordinate would otherwise index out of the
+    // caller's planar buffer (dst = out + c*h*w + (y0+li)*w).
+    if (y0 < 0 || y0 >= h) return -6;
     const int n_lines = (h - y0) < lines_per_block ? (h - y0) : lines_per_block;
+    if (n_lines <= 0) return -6;
     const int64_t expect = bytes_per_line * n_lines;
 
     const uint8_t* src;
@@ -173,31 +177,6 @@ int64_t exr_compress_block(uint8_t* raw, int64_t n, uint8_t* dst,
   if (compress2(dst, &out_len, raw, n, 4) != Z_OK) return -1;
   if (static_cast<int64_t>(out_len) >= n) return -1;
   return static_cast<int64_t>(out_len);
-}
-
-// float32 plane -> half scanline conversion for the encoder
-void float_to_half(const float* src, uint16_t* dst, int64_t n) {
-  for (int64_t i = 0; i < n; ++i) {
-    uint32_t f;
-    std::memcpy(&f, &src[i], 4);
-    const uint32_t sign = (f >> 16) & 0x8000u;
-    int32_t exp = static_cast<int32_t>((f >> 23) & 0xffu) - 127 + 15;
-    uint32_t mant = f & 0x7fffffu;
-    uint16_t h;
-    if (exp <= 0) {
-      if (exp < -10) {
-        h = static_cast<uint16_t>(sign);
-      } else {  // subnormal half
-        mant |= 0x800000u;
-        h = static_cast<uint16_t>(sign | (mant >> (14 - exp)));
-      }
-    } else if (exp >= 31) {
-      h = static_cast<uint16_t>(sign | 0x7c00u | ((f & 0x7f800000u) == 0x7f800000u ? (mant ? 0x200 : 0) : 0));
-    } else {
-      h = static_cast<uint16_t>(sign | (exp << 10) | (mant >> 13));
-    }
-    dst[i] = h;
-  }
 }
 
 }  // extern "C"

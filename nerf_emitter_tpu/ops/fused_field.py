@@ -441,11 +441,24 @@ fused_field.defvjp(_fused_field_fwd, _fused_field_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _mlp_params(tree, n_layers):
-    names = [f"hidden_{i}" for i in range(n_layers - 1)] + ["out"]
+def _mlp_params(tree):
+    """Extract (weights, biases) layer tuples from an MLP param subtree.
+    The layer count is derived from the tree itself (count of hidden_i
+    keys) so a model built with non-default depths cannot silently read a
+    subset of its layers."""
+    n_hidden = sum(1 for k in tree if str(k).startswith("hidden_"))
+    names = [f"hidden_{i}" for i in range(n_hidden)] + ["out"]
     ws = tuple(tree[n]["kernel"] for n in names)
     bs = tuple(tree[n]["bias"] for n in names)
     return ws, bs
+
+
+def _freqs_of(w0) -> int:
+    """Frequency-encoding octave count implied by a first-layer weight:
+    encoding rows are (3 + 6F) (_freq_rows)."""
+    rows = w0.shape[0]
+    assert (rows - 3) % 6 == 0, f"first-layer input {rows} is not 3+6F"
+    return (rows - 3) // 6
 
 
 def make_fused_radiance_query(model, *, disable_box=None):
@@ -471,21 +484,6 @@ def make_fused_radiance_query(model, *, disable_box=None):
         else None
     )
     n_prop = list(model.num_proposal_samples)
-    prop_freqs = [4, 6]  # HashMLPDensityField per level (models/nerfacto.py setup)
-    # NerfactoField freq-impl constants (fields/nerfacto_field.py defaults;
-    # the model constructs the field without overriding them)
-    import dataclasses as _dc
-
-    from ..fields.nerfacto_field import HashMLPDensityField as _HD
-    from ..fields.nerfacto_field import NerfactoField as _NF
-
-    prop_layers = {f.name: f.default for f in _dc.fields(_HD)}["freq_num_layers"]
-
-    _nf = {f.name: f.default for f in _dc.fields(_NF)}
-    field_freqs = _nf["freq_num_frequencies"]
-    field_layers = _nf["freq_num_layers"]
-    geo_dim = _nf["geo_feat_dim"]
-    head_layers = _nf["num_layers_color"]
 
     def query(params, rays, camera_index=None):
         p = params["params"]
@@ -503,17 +501,19 @@ def make_fused_radiance_query(model, *, disable_box=None):
             if lvl > 0:
                 rs = sample_pdf(rays, rs, weights, n_prop[lvl])
             tree = p[f"proposal_{lvl}"]["mlp"]
-            ws, bs = _mlp_params(tree, prop_layers)
+            ws, bs = _mlp_params(tree)
             dens = fused_density(
                 positions_t(rs), ws, bs,
-                prop_freqs[lvl], aabb_lo, aabb_inv_ext, dbox, 1.0,
+                _freqs_of(ws[0]), aabb_lo, aabb_inv_ext, dbox, 1.0,
             ).reshape(rs.frustums.starts.shape)
             weights = rs.get_weights(dens)
 
         rs = sample_pdf(rays, rs, weights, model.num_nerf_samples)
         f = p["field"]
-        bws, bbs = _mlp_params(f["base_mlp"], field_layers)
-        hws, hbs = _mlp_params(f["head_mlp"], head_layers)
+        bws, bbs = _mlp_params(f["base_mlp"])
+        hws, hbs = _mlp_params(f["head_mlp"])
+        field_freqs = _freqs_of(bws[0])
+        geo_dim = bws[-1].shape[1] - 1  # base out = 1 (density) + geo feat
         if model.appearance_embedding_dim > 0:
             table = f["appearance_embedding"]["embedding"]
             cam = camera_index if camera_index is not None else 0

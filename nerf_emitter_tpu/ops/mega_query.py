@@ -45,6 +45,7 @@ from .fused_field import (
     SAFE_EXP_MAX,
     _contract_and_select,
     _freq_rows_fmajor,
+    _freqs_of,
     _interpret,
     _mlp_params,
     _mlp_rowsT,
@@ -266,10 +267,6 @@ def make_mega_radiance_query(model, *, disable_box=None):
     the two megakernels. Same contract:
     query(params, rays, camera_index=None) -> rgb (n, 3)."""
     assert model.implementation == "freq", "mega path is freq-only"
-    import dataclasses as _dc
-
-    from ..fields.nerfacto_field import NerfactoField as _NF
-    from ..ops import samplers as _samplers
     from .fused_field import make_fused_radiance_query
 
     aabb = jnp.asarray(model.aabb, jnp.float32)
@@ -282,14 +279,6 @@ def make_mega_radiance_query(model, *, disable_box=None):
     )
     s0, s1 = model.num_proposal_samples
     s2 = model.num_nerf_samples
-    prop_freqs = [4, 6]  # matches make_fused_radiance_query
-    from ..fields.nerfacto_field import HashMLPDensityField as _HD
-
-    prop_layers = {f.name: f.default for f in _dc.fields(_HD)}["freq_num_layers"]
-    _nf = {f.name: f.default for f in _dc.fields(_NF)}
-    field_freqs = _nf["freq_num_frequencies"]
-    field_layers = _nf["freq_num_layers"]
-    head_layers = _nf["num_layers_color"]
 
     # plain staged path for the custom_vjp backward (exact same math)
     staged = make_fused_radiance_query(model, disable_box=disable_box)
@@ -317,8 +306,9 @@ def make_mega_radiance_query(model, *, disable_box=None):
             perm = jnp.asarray(fmajor_permutation(freqs), jnp.int32)
             return (ws[0][perm],) + tuple(ws[1:])
 
-        ws0, bs0 = _mlp_params(p["proposal_0"]["mlp"], prop_layers)
-        ws1, bs1 = _mlp_params(p["proposal_1"]["mlp"], prop_layers)
+        ws0, bs0 = _mlp_params(p["proposal_0"]["mlp"])
+        ws1, bs1 = _mlp_params(p["proposal_1"]["mlp"])
+        prop_freqs = [_freqs_of(ws0[0]), _freqs_of(ws1[0])]
         ws0 = _perm_first(ws0, prop_freqs[0])
         ws1 = _perm_first(ws1, prop_freqs[1])
         full = lambda shape: pl.BlockSpec(
@@ -349,9 +339,10 @@ def make_mega_radiance_query(model, *, disable_box=None):
         )(o_t, d_t, near_t, far_t, *ws0, *bs0, *ws1, *bs1)
 
         f = p["field"]
-        bws, bbs = _mlp_params(f["base_mlp"], field_layers)
+        bws, bbs = _mlp_params(f["base_mlp"])
+        field_freqs = _freqs_of(bws[0])
         bws = _perm_first(bws, field_freqs)
-        hws, hbs = _mlp_params(f["head_mlp"], head_layers)
+        hws, hbs = _mlp_params(f["head_mlp"])
         if model.appearance_embedding_dim > 0:
             table = f["appearance_embedding"]["embedding"]
             cam = camera_index if camera_index is not None else 0

@@ -45,6 +45,54 @@ from .sdf_optimizer import (
 )
 
 
+def _shard_fused_query(fused_query, mesh, data_axis: str):
+    """Wrap the megafused Pallas query in shard_map over the flat ray axis.
+
+    Each device runs the two megakernels on its own ray shard; NeRF params
+    are replicated (in_spec P()) so their cotangents are psum'd by the
+    shard_map transpose — the SPMD equivalent of the reference's
+    pad_scatter (o,v) / pad_gather radiance emitter protocol
+    (mitsuba_sdf.py:878-912) with zero hand-written collectives."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[data_axis]
+    spec = P(data_axis, None)
+
+    def query(params, rays, camera_index=None):
+        n = rays.origins.shape[0]
+        pad = (-n) % n_dev
+        if pad:
+            def pad0(x, fill=0.0):
+                return jnp.pad(x, ((0, pad), (0, 0)), constant_values=fill)
+
+            rays = RayBundle(
+                origins=pad0(rays.origins),
+                directions=pad0(rays.directions, 1.0),
+                pixel_area=pad0(rays.pixel_area, 1e-4),
+                nears=pad0(rays.nears, 0.1),
+                fars=pad0(rays.fars, 0.2),
+                camera_indices=(
+                    pad0(rays.camera_indices, 0)
+                    if rays.camera_indices is not None else None
+                ),
+            )
+        cam = jnp.asarray(
+            camera_index if camera_index is not None else 0, jnp.int32
+        )
+        ray_specs = jax.tree.map(lambda _: spec, rays)
+        out = shard_map(
+            lambda p_, rb_, c_: fused_query(p_, rb_, camera_index=c_),
+            mesh=mesh,
+            in_specs=(P(), ray_specs, P()),
+            out_specs=spec,
+            check_rep=False,
+        )(params, rays, cam)
+        return out[:n]
+
+    return query
+
+
 def make_nerf_emitter_fn(
     model: NerfactoModel,
     scene_scale: float,
@@ -54,6 +102,8 @@ def make_nerf_emitter_fn(
     detach_nerf: bool = False,
     rotater=None,
     use_fused: bool = True,
+    mesh=None,
+    data_axis: Optional[str] = None,
 ):
     """Returns emitter_fn_of(params, camera_index=None, rot_id=None) ->
     (x_unit, d) -> radiance.
@@ -77,13 +127,15 @@ def make_nerf_emitter_fn(
     """
     fused_query = None
     # TPU-backend gate: off-TPU the kernels would run in interpret mode
-    # (slow), and under auto-partitioning a pallas_call is an opaque custom
-    # call XLA cannot shard — the multi-chip path keeps the plain XLA query
-    # until the kernels are wrapped in shard_map over the ray axis.
+    # (slow). Under a mesh the pallas_calls are wrapped in shard_map over
+    # the flat ray axis (each chip runs the megakernels on its ray shard —
+    # the reference's pad_scatter/pad_gather, mitsuba_sdf.py:878-912, as
+    # one collective-free SPMD region); without shard_map a pallas_call is
+    # an opaque custom call XLA's auto-partitioner cannot shard.
     if (
         use_fused
         and getattr(model, "implementation", "") == "freq"
-        and jax.default_backend() == "tpu"
+        and (jax.default_backend() == "tpu" or mesh is not None)
     ):
         import numpy as _np
 
@@ -93,6 +145,8 @@ def make_nerf_emitter_fn(
         fused_query = make_mega_radiance_query(
             model, disable_box=tuple(tuple(float(x) for x in row) for row in _box)
         )
+        if mesh is not None and data_axis is not None:
+            fused_query = _shard_fused_query(fused_query, mesh, data_axis)
 
     def emitter_fn_of(params, camera_index=None, rot_id=None):
         p = jax.lax.stop_gradient(params) if detach_nerf else params
@@ -149,6 +203,10 @@ class NerfEmitterPipelineConfig:
 
     takeover_step: int = 2000
     mi_opt_steps: int = 320
+    # mi-step at which parameter running means replace the live volumes
+    # (reference load_mean_step=PRETRAIN+MI_OPT-1=2319, expressed here
+    # relative to takeover; None = mi_opt_steps-1; -1 disables)
+    load_mean_step: Optional[int] = None
     scene_scale: float = 1.0
     object_aabb: tuple = ((-0.3, -0.3, -0.3), (0.3, 0.3, 0.3))
     guiding_type: str = "vmf"  # 'vmf' | 'env' | 'emitter_xml'
@@ -199,10 +257,14 @@ class NerfEmitterPipeline:
         mi_dataset: Optional[ImageDataset] = None,
         render_config: RenderConfig = RenderConfig(),
         rotater=None,
+        mesh=None,
+        data_axis: Optional[str] = None,
     ):
         self.config = config
         self.model = model
         self.rotater = rotater
+        self.mesh = mesh
+        self.data_axis = data_axis if mesh is not None else None
         self.train_config = dataclasses.replace(
             train_config,
             step_pretrain=config.takeover_step,
@@ -222,6 +284,7 @@ class NerfEmitterPipeline:
         self.guiding = VMFGuiding(
             rebuild_every=config.proposal_rebuild_every,
             scene_scale=config.scene_scale,
+            mis_compensation=self.render_config.guiding_mis_compensation,
         )
 
         # NeRF side
@@ -237,7 +300,8 @@ class NerfEmitterPipeline:
             model, self.train_config, example_rays, jax.random.PRNGKey(0)
         )
         self.nerf_step_fn = make_train_step(
-            model, self.train_config, self.nerf_tx, rotater=rotater
+            model, self.train_config, self.nerf_tx, rotater=rotater,
+            mesh=self.mesh,
         )
         self.render_fn = make_render_fn(
             model, self.train_config,
@@ -255,6 +319,8 @@ class NerfEmitterPipeline:
             self.object_aabb,
             detach_nerf=config.no_update_nerf,
             rotater=rotater,
+            mesh=self.mesh,
+            data_axis=self.data_axis,
         )
 
     # ---------------------------------------------------------- NeRF phase
@@ -383,24 +449,63 @@ class NerfEmitterPipeline:
                 self.object_aabb,
             )
         self.sdf_tx = build_sdf_optimizer(self.opt_config)
+        from .sdf_optimizer import init_mean_params
+
+        track_mean = self.config.load_mean_step != -1
         self.sdf_state = SdfOptState(
-            step=jnp.int32(0), scene=scene, opt_state=self.sdf_tx.init(scene)
-        )
-        takeover = TakeoverConfig(
-            spp=self.config.spp,
-            image_height=self.config.takeover_image_size,
-            image_width=self.config.takeover_image_size,
-            scene_scale=self.config.scene_scale,
+            step=jnp.int32(0), scene=scene, opt_state=self.sdf_tx.init(scene),
+            mean_params=init_mean_params(scene) if track_mean else None,
         )
         self._serving_emitter_fn = emitter_fn
+        self._serving_use_nerf = emitter_fn is not None
+        self._serve_cache_key = None
+        self._takeover_emitter_fn = emitter_fn
+        self._takeover_emitter_for_camera = emitter_for_camera
+        self._takeover_size = self.config.takeover_image_size
+        self._takeover_spp = self.config.spp
+        self._rebuild_sdf_step_fn()
+
+    def _rebuild_sdf_step_fn(self):
+        """(Re)build the jitted takeover step at the current render
+        resolution/spp (the render-res upsample schedule recompiles it —
+        the reference's set_sensor_res + rescale_train,
+        mitsuba_sdf.py:505-545)."""
+        takeover = TakeoverConfig(
+            spp=self._takeover_spp,
+            spp_per_batch=min(
+                TakeoverConfig.spp_per_batch, self._takeover_spp
+            ),
+            image_height=self._takeover_size,
+            image_width=self._takeover_size,
+            scene_scale=self.config.scene_scale,
+        )
         self.sdf_step_fn = make_sdf_train_step(
             self.opt_config, takeover, self.sdf_tx,
-            emitter_fn=emitter_fn, render_config=self.render_config,
-            emitter_for_camera=emitter_for_camera,
+            emitter_fn=self._takeover_emitter_fn,
+            render_config=self.render_config,
+            emitter_for_camera=self._takeover_emitter_for_camera,
             rotater=self.rotater,
             camera_rot_ids=self.mi_dataset.rotation_ids,
             use_occlusion=self.occlusion is not None,
+            mesh=self.mesh, data_axis=self.data_axis,
         )
+
+    def _maybe_upsample_render_res(self, mi_step: int):
+        """Double the takeover render resolution at the SDF upsample steps
+        (reference render_upsample_iter drives sensor res with the volume
+        res, halving spp once res >= 512, mitsuba_sdf.py:505-545)."""
+        if mi_step not in self.opt_config.render_upsample_iter:
+            return
+        cap = int(min(self.mi_dataset.cameras.height,
+                      self.mi_dataset.cameras.width))
+        new_size = min(self._takeover_size * 2, cap)
+        if new_size == self._takeover_size:
+            return
+        self._takeover_size = new_size
+        if new_size >= 512 and self._takeover_spp > 1:
+            self._takeover_spp = max(1, self._takeover_spp // 2)
+        print(f"takeover render res -> {new_size}, spp {self._takeover_spp}")
+        self._rebuild_sdf_step_fn()
 
     def build_emitter_proposal(self, key: jax.Array, scene: SdfScene) -> SdfScene:
         """Refresh the vMF guiding mixture from the current NeRF (reference
@@ -418,6 +523,7 @@ class NerfEmitterPipeline:
     def takeover_iteration(self, key: jax.Array):
         assert self.sdf_state is not None, "call begin_takeover first"
         mi_step = int(self.sdf_state.step)
+        self._maybe_upsample_render_res(mi_step)
         use_env = self.config.guiding_type in ("env", "emitter_xml")
         if not use_env and self.guiding.should_rebuild(mi_step):
             k1, key = jax.random.split(key)
@@ -450,19 +556,51 @@ class NerfEmitterPipeline:
                 self.sdf_state, ds.cameras, cam_idx, gt, masks, k_step
             )
         self.sdf_state = post_step_host(self.sdf_state, self.opt_config, self.sdf_tx)
+        # final-step swap to the parameter running means (reference
+        # check_load_mean AFTER_TRAIN_ITERATION, mitsuba_sdf.py:766-776)
+        lm = self.config.load_mean_step
+        if lm is None:
+            lm = self.config.mi_opt_steps - 1
+        if lm >= 0 and mi_step == lm:
+            from .sdf_optimizer import load_mean_parameters
+
+            self.sdf_state = load_mean_parameters(self.sdf_state)
         return metrics
 
     # ------------------------------------------------------------- serving
+    def set_relight_emitter(self, emitter_path) -> None:
+        """Public relighting API (reference eval.py emitter_xml_path ->
+        guiding_type='emitter_xml' swap, mitsuba_sdf.py:343-346): replace
+        the serving emitter with an arbitrary envmap image. The SDF scene
+        keeps its geometry/materials; radiance comes from the envmap."""
+        assert self.sdf_state is not None, "relighting needs takeover state"
+        from ..guiding.path_guiding import EmitterImageGuiding
+
+        env = EmitterImageGuiding(emitter_path).build_envmap()
+        scene = self.sdf_state.scene.replace(envmap=env, guiding=None)
+        self.sdf_state = self.sdf_state.replace(scene=scene)
+        self._serving_emitter_fn = None
+        self._serving_use_nerf = False
+        self._serve_cache_key = None
+
     def render_camera_outputs(
         self,
         dataset: ImageDataset,
         cam_index: int,
         key: jax.Array,
         spp: int = 64,
+        spp_per_batch: int = 64,
+        denoise: bool = False,
     ) -> dict:
         """Novel-view render (reference render_camera_outputs,
         mitsuba_sdf.py:1042-1080): SDF renderer with the NeRF emitter when
-        the takeover has begun, plain NeRF render otherwise."""
+        the takeover has begun, plain NeRF render otherwise.
+
+        spp is split into power-of-two host-side batches of at most
+        spp_per_batch (the reference's render_aggregate + divide_spp,
+        mi_util.py:22-104): one compile per distinct batch size, device
+        memory bounded by spp_per_batch. denoise=True applies the joint
+        bilateral stand-in for the reference's OptiX denoiser pass."""
         cams = dataset.cameras
         if self.sdf_state is None:
             out = self.render_fn(
@@ -470,14 +608,25 @@ class NerfEmitterPipeline:
                 cams.height, cams.width,
             )
             return out
-        use_nerf_emitter = (
-            getattr(self, "_serving_emitter_fn", None) is not None
-            or self.config.guiding_type == "vmf"
-        )
+        use_nerf_emitter = getattr(self, "_serving_use_nerf", None)
+        if use_nerf_emitter is None:
+            use_nerf_emitter = (
+                getattr(self, "_serving_emitter_fn", None) is not None
+                or self.config.guiding_type == "vmf"
+            )
         h, w = cams.height, cams.width
 
-        cache_key = (h, w, spp, use_nerf_emitter, dataset.rotation_ids is not None)
+        from ..renderer.spp_schedule import bilateral_denoise, divide_spp
+
+        chunks = divide_spp(spp, max(1, spp_per_batch))
+
+        cache_key = (
+            h, w, tuple(sorted(set(chunks))), use_nerf_emitter,
+            dataset.rotation_ids is not None,
+        )
         if getattr(self, "_serve_cache_key", None) != cache_key:
+            from functools import partial
+
             from ..renderer.integrator import render_spp
             from ..renderer.sensors import camera_rays_in_render_space
 
@@ -486,8 +635,8 @@ class NerfEmitterPipeline:
             rotater = self.rotater
             rot_ids = dataset.rotation_ids
 
-            @jax.jit
-            def _serve(scene, cameras, cam_index, k, nerf_params):
+            @partial(jax.jit, static_argnums=(5,))
+            def _serve(scene, cameras, cam_index, k, nerf_params, chunk_spp):
                 rid = (
                     rot_ids[cam_index]
                     if (rotater is not None and rot_ids is not None)
@@ -510,20 +659,35 @@ class NerfEmitterPipeline:
                     self.render_config, reparam="soft"
                 )
                 return render_spp(
-                    scene, o, d, k, spp,
-                    emitter_fn=emitter, config=serve_cfg,
+                    scene, o, d, k, chunk_spp,
+                    emitter_fn=emitter, config=serve_cfg, remat=False,
                 )
 
             self._serve_fn = _serve
             self._serve_cache_key = cache_key
-        out = self._serve_fn(
-            self.sdf_state.scene, cams, jnp.int32(cam_index), key,
-            self.nerf_state.params,
-        )
+
+        rgb_acc = None
+        first = None
+        for chunk_spp in chunks:
+            key, k = jax.random.split(key)
+            out = self._serve_fn(
+                self.sdf_state.scene, cams, jnp.int32(cam_index), k,
+                self.nerf_state.params, int(chunk_spp),
+            )
+            if first is None:
+                first = out
+            part = out["rgb"] * (chunk_spp / spp)
+            rgb_acc = part if rgb_acc is None else rgb_acc + part
+        rgb = rgb_acc.reshape(h, w, 3)
+        depth = first["depth"].reshape(h, w, 1)
+        normal = first["normal"].reshape(h, w, 3)
+        if denoise:
+            rgb = bilateral_denoise(rgb, normal=normal, depth=depth)
         return {
-            "rgb": out["rgb"].reshape(h, w, 3),
-            "depth": out["depth"].reshape(h, w, 1),
-            "accumulation": out["soft_mask"].reshape(h, w, 1),
+            "rgb": rgb,
+            "depth": depth,
+            "normal": normal,
+            "accumulation": first["soft_mask"].reshape(h, w, 1),
         }
 
     def get_average_eval_image_metrics(

@@ -51,6 +51,33 @@ class SdfOptState(struct.PyTreeNode):
     step: jax.Array
     scene: SdfScene
     opt_state: Any
+    # Running (Polyak) means of the optimized volumes, swapped in at
+    # load_mean_step (reference load_mean_parameters,
+    # mitsuba_sdf.py:547-550,766-776; load_mean_step=2319 in
+    # method_configs.py:329). None = mean tracking off.
+    mean_params: Any = None
+    mean_count: jax.Array = struct.field(default_factory=lambda: jnp.int32(0))
+
+
+OPTIMIZED_VARS = ("sdf", "albedo", "roughness")
+
+
+def init_mean_params(scene: SdfScene) -> dict:
+    """Start the running mean at the current optimized volumes. Copies:
+    aliasing the live scene buffers would double-donate under the jitted
+    step's donate_argnums."""
+    return {
+        name: jnp.array(getattr(scene, name), copy=True)
+        for name in OPTIMIZED_VARS
+    }
+
+
+def load_mean_parameters(state: SdfOptState) -> SdfOptState:
+    """Swap the running means into the scene (the reference's
+    load_mean_parameters at load_mean_step). No-op when tracking is off."""
+    if state.mean_params is None:
+        return state
+    return state.replace(scene=state.scene.replace(**state.mean_params))
 
 
 def build_sdf_optimizer(config: SdfOptConfig) -> optax.GradientTransformation:
@@ -69,10 +96,19 @@ def build_sdf_optimizer(config: SdfOptConfig) -> optax.GradientTransformation:
             hide_emitters=scene.hide_emitters,
         )
 
-    txs = {
-        name: optax.adam(lrs.get(name, 1e-3), eps=1e-15)
-        for name in ("sdf", "albedo", "roughness")
-    }
+    from ..renderer.optimize import sobolev_preconditioner
+
+    lams = {v.name: v.smooth_lam for v in config.variables}
+    txs = {}
+    for name in ("sdf", "albedo", "roughness"):
+        adam = optax.adam(lrs.get(name, 1e-3), eps=1e-15)
+        lam = lams.get(name, 0.0)
+        # 'hqq' recipes: screened-Laplacian smoothing of the raw gradient
+        # BEFORE Adam (the reference's cholespy preconditioner applied to
+        # the Dr.Jit grads ahead of its Adam step)
+        txs[name] = (
+            optax.chain(sobolev_preconditioner(lam), adam) if lam > 0 else adam
+        )
     txs["frozen"] = optax.set_to_zero()
     return optax.multi_transform(txs, label_fn)
 
@@ -157,10 +193,13 @@ def make_sdf_train_step(
         return camera_rot_ids[cam_idx]
 
     def render_one(scene, cameras, cam_idx, key):
+        # independent streams for pixel jitter and the spp estimator
+        # (reusing one key correlates the two estimators)
+        k_jitter, k_spp = jax.random.split(key)
         rid = rot_id_of(cam_idx)
         o, d = camera_rays_in_render_space(
             scaled_cameras(cameras), cam_idx, h, w, takeover.scene_scale,
-            key=key, rotater=rotater, rot_id=rid,
+            key=k_jitter, rotater=rotater, rot_id=rid,
         )
         o, d = shard_rays(o, d)
         em = (
@@ -169,8 +208,9 @@ def make_sdf_train_step(
             else emitter_fn
         )
         out = render_spp(
-            scene, o, d, key, takeover.spp,
+            scene, o, d, k_spp, takeover.spp,
             emitter_fn=em, config=render_config,
+            spp_per_batch=takeover.spp_per_batch,
         )
         return out
 
@@ -180,12 +220,13 @@ def make_sdf_train_step(
 
         def per_image(args):
             cam_idx, gt, mask, k, occ = args
+            k_render, k_curv = jax.random.split(k)
             # multi-res schedule: GT resampled to the render resolution
             # (the reference's rescale_train, mitsuba_datamanager.py:137-140)
             if gt.shape[:2] != (h, w):
                 gt = jax.image.resize(gt, (h, w, 3), "linear")
                 mask = jax.image.resize(mask, (h, w, 1), "linear")
-            out = render_one(scene, cameras, cam_idx, k)
+            out = render_one(scene, cameras, cam_idx, k_render)
             pred = out["rgb"].reshape(h, w, 3)
             soft = out["soft_mask"].reshape(h, w, 1)
             mask_weight = jnp.ones_like(mask)
@@ -207,7 +248,7 @@ def make_sdf_train_step(
             # curvature regularizer (2 spp render of |Laplacian| at hits)
             o, d = camera_rays_in_render_space(
                 scaled_cameras(cameras), cam_idx, h, w, takeover.scene_scale,
-                key=k, rotater=rotater, rot_id=rot_id_of(cam_idx),
+                key=k_curv, rotater=rotater, rot_id=rot_id_of(cam_idx),
             )
             curv = jnp.mean(
                 render_curvature(
@@ -259,8 +300,20 @@ def make_sdf_train_step(
         grads = validate_gradients(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.scene)
         scene = optax.apply_updates(state.scene, updates)
+        if state.mean_params is not None:
+            # uniform running mean m_k = m_{k-1} + (theta_k - m_{k-1})/(k+1)
+            c = state.mean_count + 1
+            means = {
+                name: m + (getattr(scene, name) - m) / c.astype(m.dtype)
+                for name, m in state.mean_params.items()
+            }
+        else:
+            means, c = None, state.mean_count
         return (
-            SdfOptState(step=state.step + 1, scene=scene, opt_state=opt_state),
+            SdfOptState(
+                step=state.step + 1, scene=scene, opt_state=opt_state,
+                mean_params=means, mean_count=c,
+            ),
             metrics,
         )
 
@@ -280,8 +333,14 @@ def post_step_host(state: SdfOptState, opt_config: SdfOptConfig, tx) -> SdfOptSt
     scene = validate_params(state.scene, opt_config, step)
     new_scene = maybe_upsample(scene, opt_config, step)
     if new_scene.sdf.shape != scene.sdf.shape:
-        # re-init optimizer state for the new shape
+        # re-init optimizer state for the new shape; the running mean
+        # restarts at the upsampled volumes (its old resolution is stale)
         return SdfOptState(
-            step=state.step, scene=new_scene, opt_state=tx.init(new_scene)
+            step=state.step, scene=new_scene, opt_state=tx.init(new_scene),
+            mean_params=(
+                init_mean_params(new_scene)
+                if state.mean_params is not None else None
+            ),
+            mean_count=jnp.int32(0),
         )
     return state.replace(scene=scene)

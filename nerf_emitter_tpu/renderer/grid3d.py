@@ -130,3 +130,41 @@ def box_sdf_grid(res: int, half_extent: float = 0.3, center=(0.5, 0.5, 0.5)) -> 
     outside = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
     inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
     return (outside + inside)[..., None]
+
+
+def composite_sdf_grid(res: int, center=(0.5, 0.5, 0.5)) -> jax.Array:
+    """Non-trivial ground-truth object for E2E recovery tests: a smooth
+    union of a sphere and a tilted box, with a cylindrical bore. Sharp
+    edges + a through-hole concavity exercise exactly what a sphere/box
+    cannot: silhouette gradients at creases and occluded interior surfaces
+    (the role of the reference's mesh-derived .vol test objects)."""
+    xs = jnp.linspace(0.0, 1.0, res)
+    gx, gy, gz = jnp.meshgrid(xs, xs, xs, indexing="ij")
+    pts = jnp.stack([gx, gy, gz], -1) - jnp.asarray(center)
+
+    sph = jnp.linalg.norm(pts - jnp.asarray([-0.05, 0.02, 0.0]), axis=-1) - 0.15
+
+    # box rotated 30 deg about y
+    a = jnp.deg2rad(30.0)
+    c, s = jnp.cos(a), jnp.sin(a)
+    p = pts - jnp.asarray([0.07, -0.03, 0.0])
+    pb = jnp.stack(
+        [c * p[..., 0] + s * p[..., 2], p[..., 1],
+         -s * p[..., 0] + c * p[..., 2]], -1,
+    )
+    q = jnp.abs(pb) - jnp.asarray([0.13, 0.10, 0.11])
+    box = (
+        jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+        + jnp.minimum(jnp.max(q, axis=-1), 0.0)
+    )
+
+    k = 24.0  # smooth-union sharpness (1/k blend radius)
+    union = -jnp.log(jnp.exp(-k * sph) + jnp.exp(-k * box)) / k
+
+    # cylindrical bore along z through the sphere lobe
+    cyl = (
+        jnp.linalg.norm(pts[..., :2] - jnp.asarray([-0.05, 0.02]), axis=-1)
+        - 0.055
+    )
+    d = jnp.maximum(union, -cyl)
+    return d[..., None]

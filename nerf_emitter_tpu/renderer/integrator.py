@@ -286,22 +286,46 @@ def render_spp(
     emitter_fn: Optional[EmitterFn] = None,
     config: RenderConfig = RenderConfig(),
     remat: bool = True,
+    spp_per_batch: int = 0,
 ) -> dict[str, jax.Array]:
     """Average `spp` independent one-sample estimates via lax.map with
     rematerialization — replacing the reference's render_aggregate
     detach-plus-one-attached-batch trick (mi_util.py:22-56): under
     jax.checkpoint each spp batch's intermediates are recomputed in the
     backward instead of stored, so memory is flat in spp while gradients
-    remain exact for ALL samples (the reference only attaches one batch)."""
+    remain exact for ALL samples (the reference only attaches one batch).
 
-    def one(k):
-        return render_direct(
-            scene, origins, directions, k, emitter_fn=emitter_fn, config=config
-        )
+    spp_per_batch > 1 vmaps that many samples inside each lax.map slice
+    (the reference's spp_per_batch, mitsuba_sdf.py:96-97): emitter/NeRF
+    queries then see rays*spp_per_batch-sized batches — the MXU lever when
+    the per-sample ray count is small — at spp_per_batch times the live
+    memory per slice."""
+
+    b = max(1, spp_per_batch)
+    if spp % b != 0:
+        b = 1
+    n_chunks = spp // b
+
+    def one(ks):
+        out = jax.vmap(
+            lambda k: render_direct(
+                scene, origins, directions, k,
+                emitter_fn=emitter_fn, config=config,
+            )
+        )(ks)
+        # reduce inside the slice so the lax.map carry stays (N,*)-sized
+        return {
+            "rgb": jnp.mean(out["rgb"], axis=0),
+            "hit": out["hit"][0],
+            "alpha": jnp.mean(out["alpha"], axis=0),
+            "soft_mask": out["soft_mask"][0],
+            "depth": out["depth"][0],
+            "normal": out["normal"][0],
+        }
 
     if remat:
         one = jax.checkpoint(one)
-    keys = jax.random.split(key, spp)
+    keys = jax.random.split(key, spp).reshape(n_chunks, b, -1)
     outs = jax.lax.map(one, keys)
     rgb = jnp.mean(outs["rgb"], axis=0)
     return {

@@ -52,12 +52,7 @@ def main(argv=None):
 
     pipeline = trainer.pipeline
     if args.emitter_path is not None and pipeline.sdf_state is not None:
-        from ..guiding.path_guiding import EmitterImageGuiding
-
-        env = EmitterImageGuiding(args.emitter_path).build_envmap()
-        scene = pipeline.sdf_state.scene.replace(envmap=env, guiding=None)
-        pipeline.sdf_state = pipeline.sdf_state.replace(scene=scene)
-        pipeline._serving_emitter_fn = None  # radiance from scene envmap
+        pipeline.set_relight_emitter(args.emitter_path)
 
     ds = trainer.eval_dataset or trainer.dataset
     metrics = pipeline.get_average_eval_image_metrics(

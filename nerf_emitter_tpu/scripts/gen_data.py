@@ -44,7 +44,9 @@ def _procedural_envmap(h=256, w=512) -> np.ndarray:
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="gen_data")
     ap.add_argument("--object", type=str, default="sphere",
-                    help="'sphere' | 'box' | path to .npy SDF volume")
+                    help="'sphere' | 'box' | 'composite' | path to .npy SDF volume")
+    ap.add_argument("--albedo", choices=["const", "bands"], default="const",
+                    help="GT albedo: constant 0.6 or spatially-varying bands")
     ap.add_argument("--envmap", type=Path, default=None)
     ap.add_argument("--n-views", type=int, default=100)
     ap.add_argument("--width", type=int, default=256)
@@ -103,6 +105,10 @@ def main(argv=None):
         sdf = sphere_sdf_grid(129, radius=0.22)
     elif args.object == "box":
         sdf = box_sdf_grid(129, half_extent=0.18)
+    elif args.object == "composite":
+        from ..renderer.grid3d import composite_sdf_grid
+
+        sdf = composite_sdf_grid(129)
     else:
         sdf = jnp.asarray(np.load(args.object))
         if sdf.ndim == 3:
@@ -110,6 +116,22 @@ def main(argv=None):
     scene = SdfScene.create(sdf_res=int(sdf.shape[0]), tex_res=32, envmap=env,
                             init_albedo=0.6)
     scene = scene.replace(sdf=sdf)
+    if args.albedo == "bands":
+        # spatially-varying GT albedo (the reference's textured .vol
+        # objects): color bands along y, checker-modulated in x/z, so
+        # material recovery is a real task rather than a constant fit
+        t = scene.albedo.shape[0]
+        u = (np.arange(t) + 0.5) / t
+        bx, by, bz = np.meshgrid(u, u, u, indexing="ij")
+        colors = np.array(
+            [[0.70, 0.22, 0.18], [0.18, 0.52, 0.70], [0.72, 0.62, 0.22]],
+            np.float32,
+        )
+        band = np.minimum((by * 3).astype(np.int64), 2)
+        alb = colors[band]
+        checker = ((bx * 6).astype(np.int64) + (bz * 6).astype(np.int64)) % 2
+        alb = alb * (0.75 + 0.25 * checker)[..., None]
+        scene = scene.replace(albedo=jnp.asarray(alb, jnp.float32))
 
     scene_scale = 1.0  # world [-1,1]; cameras scaled by dataparser later
     focal = 0.5 * args.width / np.tan(0.35)
@@ -156,18 +178,29 @@ def main(argv=None):
         width=w, height=h,
     )
 
+    # spp is split into fixed-size device programs and averaged host-side
+    # (one long 256-spp program is a single multi-second dispatch — hostile
+    # to remote-device links; this is the reference's render_aggregate
+    # batching for the primal-only case)
+    spp_call = min(args.spp, 32)
+    n_calls = max(1, args.spp // spp_call)
+
     @jax.jit
     def render_view_jit(sc, cam_idx, k):
         o, d = camera_rays_in_render_space(cams, cam_idx, h, w, scene_scale)
-        res = render_spp(sc, o, d, k, args.spp, config=RenderConfig())
+        res = render_spp(sc, o, d, k, spp_call, config=RenderConfig(),
+                         remat=False)
         return res["rgb"], res["hit"]
 
     frames = []
     for i in range(n):
-        key, k = jax.random.split(key)
         sc = scene.replace(envmap=rot_envs[frame_rots[i]])
-        rgb_j, hit_j = render_view_jit(sc, jnp.int32(i), k)
-        rgb = np.asarray(rgb_j).reshape(h, w, 3)
+        acc = None
+        for _ in range(n_calls):
+            key, k = jax.random.split(key)
+            rgb_j, hit_j = render_view_jit(sc, jnp.int32(i), k)
+            acc = rgb_j if acc is None else acc + rgb_j
+        rgb = np.asarray(acc / n_calls).reshape(h, w, 3)
         mask = np.asarray(hit_j).reshape(h, w, 1).astype(np.float32)
         name = f"r_{i:04d}.exr"
         exr.write_exr(out / name, np.concatenate([rgb, mask], -1))

@@ -138,11 +138,22 @@ def cmd_metashape(args):
     if args.data is not None:
         names = _downscale_images(args.data, args.output_dir, args.num_downscales)
         by_stem = {Path(n).stem: n for n in names}
-        frames = [
-            {**fr, "file_path": f"images/{by_stem[fr['file_path']]}"}
+        # Metashape labels may carry the image extension; match by stem.
+        matched = [
+            {**fr, "file_path": f"images/{by_stem[Path(fr['file_path']).stem]}"}
             for fr in frames
-            if fr["file_path"] in by_stem
+            if Path(fr["file_path"]).stem in by_stem
         ]
+        if frames and not matched:
+            raise SystemExit(
+                f"no camera labels matched any image in {args.data} "
+                f"(e.g. label {frames[0]['file_path']!r} vs images "
+                f"{names[:3]}...)"
+            )
+        if len(matched) < len(frames):
+            print(f"warning: {len(frames) - len(matched)} labeled cameras "
+                  "had no matching image and were dropped")
+        frames = matched
     args.output_dir.mkdir(parents=True, exist_ok=True)
     meta = {**intr, "camera_model": "OPENCV", "frames": frames}
     (args.output_dir / "transforms.json").write_text(json.dumps(meta, indent=2))

@@ -71,7 +71,10 @@ def cmd_eval(args):
     out_dir = Path(args.output_path)
     for i in range(ds.images.shape[0]):
         key, k = jax.random.split(key)
-        out = trainer.pipeline.render_camera_outputs(ds, i, k, spp=args.spp)
+        out = trainer.pipeline.render_camera_outputs(
+            ds, i, k, spp=args.spp, spp_per_batch=args.spp_per_batch,
+            denoise=args.denoise,
+        )
         _save_image(out_dir / f"render_{i:04d}", np.asarray(out["rgb"]), ds.is_hdr)
         _save_image(out_dir / f"gt_{i:04d}", np.asarray(ds.images[i]), ds.is_hdr)
     print(f"wrote {ds.images.shape[0]} renders to {out_dir}")
@@ -115,6 +118,14 @@ def cmd_rotate_light(args):
             emitter_fn=rotated_emitter, config=pipeline.render_config,
         )
         rgb = np.asarray(out["rgb"]).reshape(cams.height, cams.width, 3)
+        if args.denoise:
+            from ..renderer.spp_schedule import bilateral_denoise
+
+            rgb = np.asarray(bilateral_denoise(
+                jnp.asarray(rgb),
+                normal=out["normal"].reshape(cams.height, cams.width, 3),
+                depth=out["depth"].reshape(cams.height, cams.width, 1),
+            ))
         frames.append(_save_image(out_dir / f"frame_{fi:04d}", rgb, ds.is_hdr))
     print(f"wrote {args.n_frames} relit frames to {out_dir}")
     _maybe_mux(args, frames, out_dir, "rotate_light")
@@ -161,19 +172,128 @@ def cmd_camera_path(args):
         cy=jnp.full((n,), float(ds.cameras.cy[0])),
         width=ds.cameras.width, height=ds.cameras.height,
     )
+    _render_path(trainer, ds, cams, args, "path")
+
+
+def _render_path(trainer, ds, cams, args, tag: str):
+    """Render every camera in `cams` via the pipeline serving path and
+    write frames (+ optional AVI)."""
     from ..data.datamanager import ImageDataset
 
     path_ds = ImageDataset(cameras=cams, images=ds.images[:1], is_hdr=ds.is_hdr)
     key = jax.random.PRNGKey(0)
     out_dir = Path(args.output_path)
     frames: list = []
+    n = int(cams.camera_to_worlds.shape[0])
     for i in range(n):
         key, k = jax.random.split(key)
-        out = trainer.pipeline.render_camera_outputs(path_ds, i, k, spp=args.spp)
+        out = trainer.pipeline.render_camera_outputs(
+            path_ds, i, k, spp=args.spp, spp_per_batch=args.spp_per_batch,
+            denoise=args.denoise,
+        )
         rgb = np.asarray(out["rgb"])
-        frames.append(_save_image(out_dir / f"path_{i:04d}", rgb, ds.is_hdr))
-    print(f"wrote {n} path frames to {out_dir}")
-    _maybe_mux(args, frames, out_dir, "camera_path")
+        frames.append(_save_image(out_dir / f"{tag}_{i:04d}", rgb, ds.is_hdr))
+    print(f"wrote {n} {tag} frames to {out_dir}")
+    _maybe_mux(args, frames, out_dir, tag)
+
+
+def _slerp(r0: np.ndarray, r1: np.ndarray, t: float) -> np.ndarray:
+    """Spherical interpolation of two rotation matrices via quaternions."""
+    def to_quat(m):
+        w = np.sqrt(max(0.0, 1.0 + m[0, 0] + m[1, 1] + m[2, 2])) / 2.0
+        if w > 1e-6:
+            return np.array([w, (m[2, 1] - m[1, 2]) / (4 * w),
+                             (m[0, 2] - m[2, 0]) / (4 * w),
+                             (m[1, 0] - m[0, 1]) / (4 * w)])
+        i = int(np.argmax(np.diag(m)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(1e-12, 1.0 + m[i, i] - m[j, j] - m[k, k])) * 2.0
+        q = np.zeros(4)
+        q[0] = (m[k, j] - m[j, k]) / s
+        q[1 + i] = s / 4.0
+        q[1 + j] = (m[j, i] + m[i, j]) / s
+        q[1 + k] = (m[k, i] + m[i, k]) / s
+        return q
+
+    q0, q1 = to_quat(r0), to_quat(r1)
+    if np.dot(q0, q1) < 0:
+        q1 = -q1
+    d = np.clip(np.dot(q0, q1), -1.0, 1.0)
+    th = np.arccos(d)
+    if th < 1e-5:
+        q = (1 - t) * q0 + t * q1
+    else:
+        q = (np.sin((1 - t) * th) * q0 + np.sin(t * th) * q1) / np.sin(th)
+    q = q / np.linalg.norm(q)
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def cmd_interpolate(args):
+    """Smooth path through the dataset cameras (reference render.py
+    interpolate subcommand, render.py:808-818): slerp rotations + lerp
+    positions between consecutive training views."""
+    trainer = _load(args)
+    ds = trainer.eval_dataset or trainer.dataset
+    from ..cameras.cameras import Cameras
+
+    src = np.asarray(ds.cameras.camera_to_worlds)[:, :3]
+    n_src = src.shape[0]
+    per = max(1, args.n_frames // max(1, n_src - 1))
+    c2ws = []
+    for i in range(n_src - 1):
+        for j in range(per):
+            t = j / per
+            m = np.eye(3, 4, dtype=np.float32)
+            m[:3, :3] = _slerp(src[i, :3, :3], src[i + 1, :3, :3], t)
+            m[:3, 3] = (1 - t) * src[i, :3, 3] + t * src[i + 1, :3, 3]
+            c2ws.append(m)
+    n = len(c2ws)
+    cams = Cameras(
+        camera_to_worlds=jnp.asarray(np.stack(c2ws)),
+        fx=jnp.full((n,), float(ds.cameras.fx[0])),
+        fy=jnp.full((n,), float(ds.cameras.fy[0])),
+        cx=jnp.full((n,), float(ds.cameras.cx[0])),
+        cy=jnp.full((n,), float(ds.cameras.cy[0])),
+        width=ds.cameras.width, height=ds.cameras.height,
+    )
+    _render_path(trainer, ds, cams, args, "interp")
+
+
+def cmd_spiral(args):
+    """Spiral around the first dataset camera (reference render.py spiral
+    subcommand): the view orbits the look-at point with a slow vertical
+    oscillation and radius sweep."""
+    trainer = _load(args)
+    ds = trainer.eval_dataset or trainer.dataset
+    from ..cameras.cameras import Cameras
+    from ..data.synthetic import look_at
+
+    c0 = np.asarray(ds.cameras.camera_to_worlds[0])[:3]
+    eye0 = c0[:3, 3]
+    r0 = float(np.linalg.norm(eye0))
+    c2ws = []
+    for i in range(args.n_frames):
+        t = i / max(1, args.n_frames)
+        th = np.arctan2(eye0[2], eye0[0]) + 2 * np.pi * t
+        rad = r0 * (1.0 + 0.15 * np.sin(4 * np.pi * t))
+        y = eye0[1] + 0.25 * r0 * np.sin(2 * np.pi * t)
+        eye = np.array([rad * np.cos(th), y, rad * np.sin(th)], np.float32)
+        c2ws.append(look_at(eye, np.zeros(3))[:3])
+    n = args.n_frames
+    cams = Cameras(
+        camera_to_worlds=jnp.asarray(np.stack(c2ws)),
+        fx=jnp.full((n,), float(ds.cameras.fx[0])),
+        fy=jnp.full((n,), float(ds.cameras.fy[0])),
+        cx=jnp.full((n,), float(ds.cameras.cx[0])),
+        cy=jnp.full((n,), float(ds.cameras.cy[0])),
+        width=ds.cameras.width, height=ds.cameras.height,
+    )
+    _render_path(trainer, ds, cams, args, "spiral")
 
 
 def cmd_stroke(args):
@@ -225,6 +345,8 @@ def main(argv=None):
         ("rotate-light", cmd_rotate_light),
         ("envmap", cmd_envmap),
         ("camera-path", cmd_camera_path),
+        ("interpolate", cmd_interpolate),
+        ("spiral", cmd_spiral),
         ("stroke", cmd_stroke),
     ]:
         sub = subs.add_parser(name)
@@ -243,6 +365,10 @@ def main(argv=None):
         sub.add_argument("--video", action="store_true",
                          help="also mux frames into an MJPEG AVI")
         sub.add_argument("--fps", type=int, default=24)
+        sub.add_argument("--spp-per-batch", type=int, default=64,
+                         help="host-side spp batch size (divide_spp)")
+        sub.add_argument("--denoise", action="store_true",
+                         help="joint bilateral denoise (OptiX stand-in)")
         sub.set_defaults(fn=fn)
     args = ap.parse_args(argv)
     args.fn(args)

@@ -52,8 +52,12 @@ def write_mjpeg_avi(path, frames, fps: int = 24, quality: int = 92) -> Path:
         0, 0x10,  # padding, flags (HASINDEX)
         n, 0, 1, max_size, w, h, 0, 0, 0, 0,
     )
+    # AVISTREAMHEADER after fccType/fccHandler: dwFlags, wPriority,
+    # wLanguage, dwInitialFrames, dwScale, dwRate, dwStart, dwLength,
+    # dwSuggestedBufferSize, dwQuality, dwSampleSize (canonical 56-byte
+    # payload), then rcFrame as 4 shorts.
     strh = b"vids" + b"MJPG" + struct.pack(
-        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_size, 0xFFFFFFFF, 0, 0
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_size, 0xFFFFFFFF, 0
     ) + struct.pack("<4H", 0, 0, w, h)
     strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
 

@@ -52,3 +52,12 @@ def test_compensate_pc_pads_with_zero_weight():
     lum = jnp.ones((8,))  # uniform -> all weights 0 after mean subtract
     sel, w = compensate_pc(pts, lum, max_points=4)
     np.testing.assert_allclose(w, 0.0, atol=1e-6)
+
+
+def test_compensate_pc_mis_compensation_off():
+    """mean_mult=0 (guiding_mis_compensation=False) fits RAW luminance:
+    a uniform cloud keeps nonzero weights instead of collapsing to zero."""
+    pts = jnp.zeros((8, 3))
+    lum = jnp.ones((8,))
+    sel, w = compensate_pc(pts, lum, max_points=4, mean_mult=0.0)
+    np.testing.assert_allclose(w, 1.0, atol=1e-6)

@@ -150,3 +150,135 @@ def test_sdf_inverse_rendering_recovers_shape():
     assert np.isfinite(lasts).all()
     assert np.mean(lasts) < first * 0.7, (first, lasts)
     assert mask_last < mask_first * 0.3, (mask_first, mask_last)
+
+
+def test_render_spp_batching_matches_unbatched():
+    """spp_per_batch only regroups the same per-sample keys: the averaged
+    image must match the per-sample (b=1) path."""
+    env = EnvmapEmitter.create(jnp.ones((8, 16, 3)))
+    scene = SdfScene.create(sdf_res=17, tex_res=4, envmap=env, init_radius=0.3)
+    cams = _ring_cameras(n=1)
+    o, d = camera_rays_in_render_space(cams, jnp.int32(0), H, W, SCALE)
+    a = render_spp(scene, o, d, jax.random.PRNGKey(0), spp=8, config=RCONF)
+    b = render_spp(
+        scene, o, d, jax.random.PRNGKey(0), spp=8, config=RCONF, spp_per_batch=4
+    )
+    np.testing.assert_allclose(np.asarray(a["rgb"]), np.asarray(b["rgb"]),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(a["soft_mask"]),
+                               np.asarray(b["soft_mask"]), atol=1e-6)
+
+
+def test_mean_parameter_tracking_and_swap():
+    """The running mean is the uniform mean of the post-step volumes, and
+    load_mean_parameters swaps it into the scene (reference
+    load_mean_parameters, mitsuba_sdf.py:547-550)."""
+    from nerf_emitter_tpu.pipelines.sdf_optimizer import (
+        init_mean_params,
+        load_mean_parameters,
+    )
+
+    env = EnvmapEmitter.create(jnp.ones((8, 16, 3)))
+    cams = _ring_cameras(n=2)
+    opt_cfg = SdfOptConfig(
+        name="mean-test", bsdf_type=0, loss="relative_l1",
+        variables=(
+            VariableSpec("sdf", lr=3e-3),
+            VariableSpec("albedo", lr=1e-2, clamp=(0.0, 1.0)),
+            VariableSpec("roughness", lr=0.0, clamp=(0.02, 1.0)),
+        ),
+        render_upsample_iter=(), curvature_mult=0.0,
+    )
+    takeover = TakeoverConfig(spp=2, image_height=H, image_width=W,
+                              scene_scale=SCALE)
+    scene0 = SdfScene.create(sdf_res=17, tex_res=4, envmap=env,
+                             init_radius=0.3)
+    tx = build_sdf_optimizer(opt_cfg)
+    state = SdfOptState(
+        step=jnp.int32(0), scene=scene0, opt_state=tx.init(scene0),
+        mean_params=init_mean_params(scene0),
+    )
+    step_fn = make_sdf_train_step(opt_cfg, takeover, tx, render_config=RCONF)
+    cam_idx = jnp.arange(2, dtype=jnp.int32)
+    gt = jnp.full((2, H, W, 3), 0.5)
+    masks = jnp.ones((2, H, W, 1))
+    seen = []
+    for it in range(3):
+        state, _ = step_fn(state, cams, cam_idx, gt, masks, jax.random.PRNGKey(it))
+        seen.append(np.asarray(state.scene.sdf))
+    expect = np.mean(np.stack(seen), axis=0)
+    np.testing.assert_allclose(np.asarray(state.mean_params["sdf"]), expect,
+                               rtol=1e-5, atol=1e-7)
+    assert int(state.mean_count) == 3
+    swapped = load_mean_parameters(state)
+    np.testing.assert_allclose(np.asarray(swapped.scene.sdf), expect,
+                               rtol=1e-5, atol=1e-7)
+    # scene differs from the mean before the swap (the optimizer moved)
+    assert not np.allclose(np.asarray(state.scene.sdf), expect)
+
+
+def test_sobolev_smoothing_solves_screened_poisson():
+    """smooth_gradient approximately solves (I + lam*L)x = g (Neumann L),
+    preserves descent (<g,x> > 0), and strictly damps high-frequency
+    gradient energy — the 'hqq' cholespy-preconditioner contract."""
+    from nerf_emitter_tpu.renderer.optimize import smooth_gradient
+
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.normal(size=(9, 9, 9, 1)).astype(np.float32))
+    lam = 0.5
+    x = smooth_gradient(g, lam, n_iters=400)
+
+    def neighbor_sum(u):
+        ue = jnp.pad(u, [(1, 1)] * 3 + [(0, 0)], mode="edge")
+        return (
+            ue[:-2, 1:-1, 1:-1] + ue[2:, 1:-1, 1:-1]
+            + ue[1:-1, :-2, 1:-1] + ue[1:-1, 2:, 1:-1]
+            + ue[1:-1, 1:-1, :-2] + ue[1:-1, 1:-1, 2:]
+        )
+
+    back = (1.0 + 6.0 * lam) * x - lam * neighbor_sum(x)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(g),
+                               rtol=1e-3, atol=1e-4)
+    assert float(jnp.vdot(g, x)) > 0.0
+
+    def lap_energy(u):
+        return float(jnp.mean((6.0 * u - neighbor_sum(u)) ** 2))
+
+    assert lap_energy(x) < 0.25 * lap_energy(g)
+
+
+def test_sobolev_preconditioner_in_optimizer():
+    """build_sdf_optimizer with smooth_lam>0 produces finite, smoothed sdf
+    updates and leaves albedo untouched by smoothing."""
+    from nerf_emitter_tpu.renderer.optimize import (
+        SdfOptConfig,
+        VariableSpec,
+    )
+
+    cfg = SdfOptConfig(
+        name="hqq-test", bsdf_type=0, loss="relative_l1",
+        variables=(
+            VariableSpec("sdf", lr=1e-2, smooth_lam=2.0),
+            VariableSpec("albedo", lr=1e-2),
+            VariableSpec("roughness", lr=0.0),
+        ),
+    )
+    scene = SdfScene.create(sdf_res=9, tex_res=4)
+    tx = build_sdf_optimizer(cfg)
+    opt_state = tx.init(scene)
+    rng = np.random.default_rng(1)
+    grads = scene.replace(
+        sdf=jnp.asarray(rng.normal(size=scene.sdf.shape).astype(np.float32)),
+        albedo=jnp.zeros_like(scene.albedo),
+        roughness=jnp.zeros_like(scene.roughness),
+    )
+    updates, _ = tx.update(grads, opt_state, scene)
+    assert np.isfinite(np.asarray(updates.sdf)).all()
+    # adam normalizes magnitudes; smoothing shows up as spatial coherence:
+    # neighboring update signs agree far more often than the iid grads'
+    def coherence(u):
+        s = np.sign(np.asarray(u)[..., 0])
+        return float(np.mean(s[:-1] == s[1:]))
+
+    assert coherence(updates.sdf) > coherence(grads.sdf) + 0.15
+    assert coherence(updates.sdf) > 0.65
