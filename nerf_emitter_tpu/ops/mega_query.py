@@ -98,12 +98,32 @@ def _weights_rows(dens: jax.Array, deltas: jax.Array) -> jax.Array:
 
 
 def _resample_rows(
-    weights: jax.Array, sbins: jax.Array, n_out: int, chunk: int = 32
+    weights: jax.Array, sbins: jax.Array, n_out: int
 ) -> jax.Array:
     """Deterministic inverse-CDF resampling (ops/samplers.sample_pdf with
     key=None), (S_in, R) weights + (S_in+1, R) spacing bins ->
-    (n_out+1, R) new spacing bins. Sum-of-clamped-ramps, accumulated over
-    `chunk`-segment slices to bound the (n_out+1, chunk, R) broadcast."""
+    (n_out+1, R) new spacing bins.
+
+    The piecewise-linear inverse CDF is evaluated as a TELESCOPED sum of
+    relu ramps: with g[s] = d_bins[s]/d_cdf[s] (the per-segment slope) the
+    clamped-ramp sum  sum_s d_bins[s]*clip((u-cdf[s])*inv[s], 0, 1)
+    telescopes (c_hi[s] == c_lo[s+1]) into
+
+        sum_{s=0..S} coef[s] * relu(u - cdf[s]),
+        coef = [g0, g1-g0, ..., g_{S-1}-g_{S-2}, -g_{S-1}],
+
+    which is 4 VPU ops per (out, seg) cell (sub, max, mul, reduce-add)
+    instead of 6 — and the resample is the measured hot spot of the
+    proposal megakernel (~14.5 of 21.5 ms at the bench config), purely
+    VPU-bound. The histogram padding lower-bounds d_cdf (>= hist_pad /
+    (1 + hist_pad*S) since transmittance weights sum to <= 1), so the
+    slopes — and the cancellation error of the telescoped form — stay
+    bounded (~1e-4 of the spacing range in f32).
+
+    The u grid is deterministic (serving mode, key=None), so each output
+    row's u_i enters as a PYTHON SCALAR over an unrolled row loop: every
+    pass is a native 2D (S+1, R) op with scalar broadcast — measured 19%
+    faster than 3D (out, chunk, R) broadcast tiles on v5e."""
     s_in, r = weights.shape
     w = weights + _HIST_PAD
     w_sum = jnp.sum(w, axis=0, keepdims=True)  # (1, R)
@@ -117,26 +137,19 @@ def _resample_rows(
          jnp.ones((1, r), jnp.float32)], axis=0,
     )  # (S_in+1, R)
 
+    d_bins = sbins[1:] - sbins[:-1]  # (S_in, R)
+    d_cdf = cdf[1:] - cdf[:-1]
+    g = d_bins / jnp.maximum(d_cdf, _EPS)  # (S_in, R) slopes
+    zero = jnp.zeros((1, r), jnp.float32)
+    coef = jnp.concatenate([g, zero], 0) - jnp.concatenate([zero, g], 0)
+
     # deterministic u grid: linspace(0, 1-eps, n_out+1) + 1/(2(n_out+1))
     step = (1.0 - _EPS) / n_out
-    u = _row_iota(n_out + 1, r) * step + 1.0 / (2.0 * (n_out + 1))
-
-    d_bins = sbins[1:] - sbins[:-1]  # (S_in, R)
-    cdf_lo = cdf[:-1]  # (S_in, R) lower edge of each segment
-    d_cdf = cdf[1:] - cdf_lo
-    inv_dc = 1.0 / jnp.maximum(d_cdf, _EPS)
-
-    new_bins = jnp.broadcast_to(sbins[:1], (n_out + 1, r)) * 1.0
-    u3 = u.reshape(n_out + 1, 1, r)
-    for c0 in range(0, s_in, chunk):
-        # slice on 2D THEN expand: a middle-dim slice of an expanded 3D
-        # array lowers to an (unsupported) gather in Mosaic
-        c_lo = cdf_lo[c0 : c0 + chunk].reshape(1, -1, r)
-        c_inv = inv_dc[c0 : c0 + chunk].reshape(1, -1, r)
-        c_db = d_bins[c0 : c0 + chunk].reshape(1, -1, r)
-        frac = (u3 - c_lo) * c_inv
-        new_bins = new_bins + jnp.sum(c_db * jnp.clip(frac, 0.0, 1.0), axis=1)
-    return new_bins
+    rows = []
+    for i in range(n_out + 1):
+        u_i = float(i) * step + 1.0 / (2.0 * (n_out + 1))
+        rows.append(jnp.sum(coef * jnp.maximum(u_i - cdf, 0.0), axis=0))
+    return sbins[:1] + jnp.stack(rows, axis=0)
 
 
 def _density_rows(

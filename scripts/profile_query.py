@@ -114,7 +114,7 @@ def main():
 
     @jax.jit
     def run_a(o_t, d_t, near_t, far_t, ws0, bs0, ws1, bs1):
-        return pl.pallas_call(
+        return jnp.sum(pl.pallas_call(
             kern_a,
             grid=(NUM_RAYS // T,),
             in_specs=[
@@ -124,7 +124,7 @@ def main():
             ],
             out_specs=tile(s2 + 1),
             out_shape=jax.ShapeDtypeStruct((s2 + 1, NUM_RAYS), jnp.float32),
-        )(o_t, d_t, near_t, far_t, *ws0, *bs0, *ws1, *bs1)
+        )(o_t, d_t, near_t, far_t, *ws0, *bs0, *ws1, *bs1))
 
     f = p["field"]
     bws, bbs = _mlp_params(f["base_mlp"])
@@ -150,7 +150,7 @@ def main():
 
     @jax.jit
     def run_b(sb, o_t, d_t, near_t, far_t, emb2, bws, bbs, hws, hbs):
-        return pl.pallas_call(
+        return jnp.sum(pl.pallas_call(
             kern_b,
             grid=(NUM_RAYS // T,),
             in_specs=[
@@ -161,7 +161,7 @@ def main():
             ],
             out_specs=tile(3),
             out_shape=jax.ShapeDtypeStruct((3, NUM_RAYS), jnp.float32),
-        )(sb, o_t, d_t, near_t, far_t, emb2, *bws, *bbs, *hws, *hbs)
+        )(sb, o_t, d_t, near_t, far_t, emb2, *bws, *bbs, *hws, *hbs))
 
     t_a = timed(run_a, o_t, d_t, near_t, far_t, ws0, bs0, ws1, bs1)
     t_b = timed(run_b, sb, o_t, d_t, near_t, far_t, emb2, bws, bbs, hws, hbs)
@@ -169,11 +169,11 @@ def main():
     from nerf_emitter_tpu.ops.mega_query import make_mega_radiance_query
 
     fused = make_mega_radiance_query(model)
-    mega = jax.jit(lambda pr, rb: fused(pr, rb))
+    mega = jax.jit(lambda pr, rb: jnp.sum(fused(pr, rb)))
     t_full = timed(mega, params, rays)
 
     staged = make_fused_radiance_query(model)
-    staged_j = jax.jit(lambda pr, rb: staged(pr, rb))
+    staged_j = jax.jit(lambda pr, rb: jnp.sum(staged(pr, rb)))
     t_staged = timed(staged_j, params, rays)
 
     print(f"kernel A (proposals):      {t_a:8.2f} ms")
