@@ -191,10 +191,23 @@ def make_render_fn(
     chunk: int = 4096,
     rotater=None,
     camera_rot_ids=None,
+    mesh=None,
+    data_axis=None,
 ):
     """Full-image eval renderer: lax.map over fixed-size ray chunks
     (replaces the reference's chunked get_outputs_for_camera_ray_bundle,
-    base_model.py:260-344)."""
+    base_model.py:260-344). Under a mesh each chunk's rays shard over the
+    data axis (the reference's indices_by_rank multi-rank eval,
+    render_utils.py:36-46); chunk is scaled by the device count so every
+    device keeps its single-device chunk size."""
+    if mesh is not None and data_axis is not None:
+        chunk = chunk * mesh.shape[data_axis]
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ray_sharding = NamedSharding(mesh, P(data_axis))
+    else:
+        ray_sharding = None
 
     @partial(jax.jit, static_argnames=("height", "width"))
     def render_image(
@@ -214,6 +227,9 @@ def make_render_fn(
 
         def render_chunk(args):
             ci, co = args
+            if ray_sharding is not None:
+                ci = jax.lax.with_sharding_constraint(ci, ray_sharding)
+                co = jax.lax.with_sharding_constraint(co, ray_sharding)
             rays = cameras.generate_rays(
                 ci, co, nears=config.near, fars=config.far, aabb_box=aabb_box
             )

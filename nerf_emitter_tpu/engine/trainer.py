@@ -256,3 +256,15 @@ class Trainer:
         self.pipeline.nerf_state = restored["nerf"]
         if "sdf" in restored:
             self.pipeline.sdf_state = restored["sdf"]
+        if self.mesh is not None:
+            # restored arrays may be committed to one device; mesh programs
+            # need mesh-replicated inputs
+            from ..parallel.mesh import replicated
+
+            self.pipeline.nerf_state = jax.device_put(
+                self.pipeline.nerf_state, replicated(self.mesh)
+            )
+            if self.pipeline.sdf_state is not None:
+                self.pipeline.sdf_state = jax.device_put(
+                    self.pipeline.sdf_state, replicated(self.mesh)
+                )

@@ -216,6 +216,11 @@ class NerfEmitterPipelineConfig:
     no_update_nerf: bool = True  # freeze NeRF during takeover (detach_op)
     batch_size: int = 4  # images per mi step
     spp: int = 32
+    # aggregate-estimator threshold (reference primal_spp_mult semantics,
+    # mi_util.py:22-56): when spp > spp_attached, the primal is the full-spp
+    # mean in detached bounded dispatches and the gradient flows through
+    # spp_attached samples; 0 = always exact single-dispatch gradients
+    spp_attached: int = 16
     takeover_image_size: int = 64
     sdf_init: str = "tsdf"  # 'tsdf' (from NeRF depth) | 'sphere'
     env_path: Optional[str] = None  # GT envmap for guiding_type='env'
@@ -299,6 +304,14 @@ class NerfEmitterPipeline:
         self.nerf_state, self.nerf_tx = create_train_state(
             model, self.train_config, example_rays, jax.random.PRNGKey(0)
         )
+        if self.mesh is not None:
+            # jit-init commits arrays to one device; mesh-constrained
+            # programs (render_fn/serve/step) need mesh-replicated inputs
+            from ..parallel.mesh import replicated
+
+            self.nerf_state = jax.device_put(
+                self.nerf_state, replicated(self.mesh)
+            )
         self.nerf_step_fn = make_train_step(
             model, self.train_config, self.nerf_tx, rotater=rotater,
             mesh=self.mesh,
@@ -306,6 +319,7 @@ class NerfEmitterPipeline:
         self.render_fn = make_render_fn(
             model, self.train_config,
             rotater=rotater, camera_rot_ids=dataset.rotation_ids,
+            mesh=self.mesh, data_axis=self.data_axis,
         )
 
         # SDF side (created lazily at takeover)
@@ -456,6 +470,12 @@ class NerfEmitterPipeline:
             step=jnp.int32(0), scene=scene, opt_state=self.sdf_tx.init(scene),
             mean_params=init_mean_params(scene) if track_mean else None,
         )
+        if self.mesh is not None:
+            from ..parallel.mesh import replicated
+
+            self.sdf_state = jax.device_put(
+                self.sdf_state, replicated(self.mesh)
+            )
         self._serving_emitter_fn = emitter_fn
         self._serving_use_nerf = emitter_fn is not None
         self._serve_cache_key = None
@@ -475,6 +495,7 @@ class NerfEmitterPipeline:
             spp_per_batch=min(
                 TakeoverConfig.spp_per_batch, self._takeover_spp
             ),
+            spp_attached=self.config.spp_attached,
             image_height=self._takeover_size,
             image_width=self._takeover_size,
             scene_scale=self.config.scene_scale,
@@ -653,6 +674,17 @@ class NerfEmitterPipeline:
                     cameras, cam_index, h, w, self.config.scene_scale,
                     rotater=rotater, rot_id=rid,
                 )
+                if self.mesh is not None and self.data_axis is not None:
+                    # multi-chip serving: pixel rays shard over the data
+                    # axis exactly like the takeover train step (the
+                    # reference's indices_by_rank eval sharding,
+                    # render_utils.py:36-46)
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+
+                    s = NamedSharding(self.mesh, P(self.data_axis, None))
+                    o = jax.lax.with_sharding_constraint(o, s)
+                    d = jax.lax.with_sharding_constraint(d, s)
                 # serving is gradient-free: the warp reparameterization
                 # changes nothing in the primal, so skip its 3x trace cost
                 serve_cfg = dataclasses.replace(

@@ -23,6 +23,9 @@ import jax
 
 
 def main(argv=None):
+    from ..utils.jit_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     ap = argparse.ArgumentParser(prog="eval")
     ap.add_argument("--load-config", type=Path, required=True)
     ap.add_argument("--output-path", type=Path, default=Path("metrics.json"))

@@ -42,6 +42,9 @@ def _procedural_envmap(h=256, w=512) -> np.ndarray:
 
 
 def main(argv=None):
+    from ..utils.jit_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     ap = argparse.ArgumentParser(prog="gen_data")
     ap.add_argument("--object", type=str, default="sphere",
                     help="'sphere' | 'box' | 'composite' | path to .npy SDF volume")
@@ -57,6 +60,8 @@ def main(argv=None):
                     help="turntable light rotations (per-frame rotation tags)")
     ap.add_argument("--path-type", choices=["random", "spiral"], default="random")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip views whose EXR already exists (crash resume)")
     ap.add_argument("--out", type=Path, required=True)
     args = ap.parse_args(argv)
 
@@ -182,18 +187,35 @@ def main(argv=None):
     # (one long 256-spp program is a single multi-second dispatch — hostile
     # to remote-device links; this is the reference's render_aggregate
     # batching for the primal-only case)
-    spp_call = min(args.spp, 32)
+    # small per-dispatch spp: one multi-second device program is hostile
+    # to remote-device links (the axon tunnel kills long executions)
+    spp_call = min(args.spp, 8)
     n_calls = max(1, args.spp // spp_call)
 
     @jax.jit
     def render_view_jit(sc, cam_idx, k):
         o, d = camera_rays_in_render_space(cams, cam_idx, h, w, scene_scale)
-        res = render_spp(sc, o, d, k, spp_call, config=RenderConfig(),
-                         remat=False)
+        # primal-only GT render: the warp reparameterization is primal-
+        # identical, so 'soft' skips its 3x trace cost and its minutes-long
+        # jvp compile entirely
+        res = render_spp(sc, o, d, k, spp_call,
+                         config=RenderConfig(reparam="soft"), remat=False)
         return res["rgb"], res["hit"]
 
     frames = []
     for i in range(n):
+        name = f"r_{i:04d}.exr"
+        if args.resume and (out / name).exists():
+            # crash/restart resume: keys still advance so re-rendered and
+            # skipped views come out identical to a fresh run
+            for _ in range(n_calls):
+                key, _k = jax.random.split(key)
+            frames.append({
+                "file_path": name,
+                "transform_matrix": c2ws[i].tolist(),
+                "rotation": int(rot_angles[frame_rots[i]]),
+            })
+            continue
         sc = scene.replace(envmap=rot_envs[frame_rots[i]])
         acc = None
         for _ in range(n_calls):
@@ -202,7 +224,6 @@ def main(argv=None):
             acc = rgb_j if acc is None else acc + rgb_j
         rgb = np.asarray(acc / n_calls).reshape(h, w, 3)
         mask = np.asarray(hit_j).reshape(h, w, 1).astype(np.float32)
-        name = f"r_{i:04d}.exr"
         exr.write_exr(out / name, np.concatenate([rgb, mask], -1))
         frames.append(
             {

@@ -338,6 +338,9 @@ def cmd_stroke(args):
 
 
 def main(argv=None):
+    from ..utils.jit_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     ap = argparse.ArgumentParser(prog="render")
     subs = ap.add_subparsers(dest="cmd", required=True)
     for name, fn in [

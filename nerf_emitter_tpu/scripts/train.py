@@ -52,6 +52,9 @@ def _flatten_defaults(cfg, prefix: str = "") -> dict:
 
 
 def main(argv=None):
+    from ..utils.jit_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     parser = build_parser()
     parser_args = argv if argv is not None else sys.argv[1:]
     # resume flags live outside the dataclass config (reference

@@ -9,15 +9,28 @@ SCENE=${1:?usage: run.sh <scene_dir> [experiment_name]}
 EXP=${2:-$(basename "$SCENE")}
 OUT=outputs
 
+PRETRAIN=${PRETRAIN:-2000}
+
 python -m nerf_emitter_tpu.scripts.train hdr-nerfacto \
   --datacfg.data "$SCENE" \
   --experiment-name "$EXP" \
-  --output-dir "$OUT"
+  --output-dir "$OUT" \
+  --max-num-iterations "$PRETRAIN" --train.max-steps "$PRETRAIN" \
+  --steps-per-save "$PRETRAIN"
+
+# chain: seed the sdf-nerfacto run dir with the hdr checkpoint and resume
+# at the takeover step (the reference's --load-dir +
+# --override-start-step, scripts/real/ours/run.sh:24-25)
+mkdir -p "$OUT/$EXP/sdf-nerfacto"
+cp -r "$OUT/$EXP/hdr-nerfacto/checkpoints" "$OUT/$EXP/sdf-nerfacto/"
 
 python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
   --datacfg.data "$SCENE" \
   --experiment-name "$EXP" \
-  --output-dir "$OUT"
+  --output-dir "$OUT" \
+  --pipeline.use-occlusion true \
+  --resume --override-start-step "$PRETRAIN" \
+  --pipeline.takeover-step "$PRETRAIN"
 
 CONFIG="$OUT/$EXP/sdf-nerfacto/config.json"
 

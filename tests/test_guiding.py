@@ -61,3 +61,34 @@ def test_compensate_pc_mis_compensation_off():
     lum = jnp.ones((8,))
     sel, w = compensate_pc(pts, lum, max_points=4, mean_mult=0.0)
     np.testing.assert_allclose(w, 1.0, atol=1e-6)
+
+
+def test_gmm_full_reference_budget():
+    """The reference's production guiding budget — 32768 light points, 64
+    vMF clusters (mitsuba_sdf.py:90-91,228-229) — fits in one EM call with
+    finite, normalized outputs and recovers a multi-modal structure."""
+    import time
+
+    key = jax.random.PRNGKey(0)
+    # 8 well-separated emitter blobs, uneven luminance
+    centers = jax.random.normal(jax.random.PRNGKey(1), (8, 3))
+    ki, kn, kw = jax.random.split(key, 3)
+    assign = jax.random.randint(ki, (32768,), 0, 8)
+    pts = centers[assign] + 0.05 * jax.random.normal(kn, (32768, 3))
+    lum = (1.0 + assign.astype(jnp.float32)) * (
+        0.5 + jax.random.uniform(kw, (32768,))
+    )
+    t0 = time.time()
+    means, pis, stds = fit_spherical_gmm(key, pts, lum, n_clusters=64)
+    means.block_until_ready()
+    dt = time.time() - t0
+    assert np.isfinite(np.asarray(means)).all()
+    assert np.isfinite(np.asarray(stds)).all()
+    np.testing.assert_allclose(float(jnp.sum(pis)), 1.0, rtol=1e-4)
+    assert (np.asarray(stds) > 0).all()
+    # every true blob is matched by some cluster mean within its spread
+    d = jnp.linalg.norm(centers[:, None] - means[None], axis=-1)
+    assert float(jnp.max(jnp.min(d, axis=1))) < 0.2
+    # wall-clock sanity: the rebuild runs every 10 mi-steps; one EM fit
+    # must be a fraction of a takeover step even on the CPU test backend
+    assert dt < 120.0, dt

@@ -175,6 +175,32 @@ def test_takeover_step_mesh_parity(mesh):
     )
 
 
+def test_eval_render_mesh_parity(mesh):
+    """Full-image eval render sharded over the mesh == single device
+    (the reference's indices_by_rank multi-rank eval)."""
+    from nerf_emitter_tpu.engine.train_loop import make_render_fn
+    from nerf_emitter_tpu.parallel.mesh import replicated
+
+    dataset = _ring_dataset()
+    model = _tiny_model()
+    cfg = TrainConfig(num_rays_per_batch=32, near=0.05, far=4.0, max_steps=10)
+    rays = dataset.cameras.generate_rays(
+        jnp.zeros((4,), jnp.int32), jnp.zeros((4, 2), jnp.int32),
+        nears=cfg.near, fars=cfg.far,
+    )
+    state, _ = create_train_state(model, cfg, rays, jax.random.PRNGKey(0))
+
+    r1 = make_render_fn(model, cfg, chunk=16)
+    out1 = r1(state.params, dataset.cameras, jnp.int32(0), 8, 8)
+
+    params_m = jax.device_put(state.params, replicated(mesh))
+    r8 = make_render_fn(model, cfg, chunk=16, mesh=mesh, data_axis=DATA_AXIS)
+    out8 = r8(params_m, dataset.cameras, jnp.int32(0), 8, 8)
+    np.testing.assert_allclose(
+        np.asarray(out1["rgb"]), np.asarray(out8["rgb"]), rtol=2e-4, atol=1e-6
+    )
+
+
 def test_fused_query_shard_map_parity(mesh):
     """The shard_map-wrapped megafused Pallas query (interpret mode on CPU)
     matches the staged XLA query on every ray shard."""
