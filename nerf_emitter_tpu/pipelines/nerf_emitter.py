@@ -135,7 +135,7 @@ def make_nerf_emitter_fn(
     if (
         use_fused
         and getattr(model, "implementation", "") == "freq"
-        and (jax.default_backend() == "tpu" or mesh is not None)
+        and jax.default_backend() == "tpu"
     ):
         import numpy as _np
 

@@ -110,6 +110,27 @@ def resample_scalar_u_bf16(weights, sbins, n_out):
     return sbins[:1] + jnp.stack(rows, axis=0)
 
 
+def resample_scalar_u_mxu(weights, sbins, n_out):
+    """scalar-u with the segment reduce on the MXU: per output row the VPU
+    does sub+max+mul (3 ops/cell) and a ones-vector dot_general contracts
+    the sublane axis — frees one VPU pass per cell if the tiny matmuls
+    pipeline well."""
+    s_in, r = weights.shape
+    cdf, coef = _prep(weights, sbins)
+    ones = jnp.ones((s_in + 1, 1), jnp.float32)
+    step = (1.0 - _EPS) / n_out
+    rows = []
+    for i in range(n_out + 1):
+        u_i = float(i) * step + 1.0 / (2.0 * (n_out + 1))
+        elem = coef * jnp.maximum(u_i - cdf, 0.0)  # (S+1, R)
+        val = jax.lax.dot_general(
+            ones, elem, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, R)
+        rows.append(val[0])
+    return sbins[:1] + jnp.stack(rows, axis=0)
+
+
 def make_kernel(fn):
     def kernel(w0_ref, sb0_ref, w1_ref, sb1_ref, out_ref):
         sb1 = fn(w0_ref[:], sb0_ref[:], S1)
@@ -135,7 +156,7 @@ def main():
 
     variants = {
         "scalar-u": resample_scalar_u,
-        "scalar-u-bf16": resample_scalar_u_bf16,
+        "scalar-u-mxu": resample_scalar_u_mxu,
     }
     ref_out = None
     for name, fn in variants.items():

@@ -7,9 +7,12 @@ set -euo pipefail
 
 SCENE=${1:?usage: run.sh <scene_dir> [experiment_name]}
 EXP=${2:-$(basename "$SCENE")}
-OUT=outputs
+OUT=${OUT:-outputs}
 
 PRETRAIN=${PRETRAIN:-2000}
+TOTAL=${TOTAL:-$((PRETRAIN + 320))}
+EXPORT_RES=${EXPORT_RES:-512}
+RENDER_SPP=${RENDER_SPP:-256}
 
 python -m nerf_emitter_tpu.scripts.train hdr-nerfacto \
   --datacfg.data "$SCENE" \
@@ -30,14 +33,15 @@ python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
   --output-dir "$OUT" \
   --pipeline.use-occlusion true \
   --resume --override-start-step "$PRETRAIN" \
-  --pipeline.takeover-step "$PRETRAIN"
+  --pipeline.takeover-step "$PRETRAIN" \
+  --max-num-iterations "$TOTAL" --train.max-steps "$TOTAL"
 
 CONFIG="$OUT/$EXP/sdf-nerfacto/config.json"
 
 python -m nerf_emitter_tpu.scripts.exporter mi-marching-cubes \
-  --load-config "$CONFIG" --resolution 512 \
+  --load-config "$CONFIG" --resolution "$EXPORT_RES" \
   --output-dir "$OUT/$EXP/export"
 
 python -m nerf_emitter_tpu.scripts.render eval \
-  --load-config "$CONFIG" --spp 256 \
+  --load-config "$CONFIG" --spp "$RENDER_SPP" \
   --output-path "$OUT/$EXP/renders"

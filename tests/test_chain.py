@@ -39,10 +39,18 @@ def test_hdr_to_sdf_checkpoint_chain(turntable_scene, tmp_path):
         "--train.num-rays-per-batch", "64",
         "--pipeline.tsdf-init-res", "24",
         "--steps-per-save", "1000", "--steps-per-eval-image", "1000",
+        # tiny model: the chain mechanics are what's under test, and the
+        # full-size nerfacto takes minutes per program to compile on the
+        # CPU mesh backend
+        "--model.num-nerf-samples", "8",
+        "--model.num-proposal-samples", "[16,8]",
+        "--model.log2-hashmap-size", "12",
+        "--model.max-res", "128",
+        "--model.appearance-embedding-dim", "8",
     ]
     train_main([
         "hdr-nerfacto", *common,
-        "--max-num-iterations", "4", "--train.max-steps", "4",
+        "--max-num-iterations", "10", "--train.max-steps", "10",
     ])
     hdr_dir = out / "chain" / "hdr-nerfacto"
     assert (hdr_dir / "checkpoints").exists()
@@ -52,11 +60,13 @@ def test_hdr_to_sdf_checkpoint_chain(turntable_scene, tmp_path):
     sdf_dir.mkdir(parents=True)
     shutil.copytree(hdr_dir / "checkpoints", sdf_dir / "checkpoints")
 
+    # the trainer logs metrics every 10 steps, so the takeover window must
+    # cover a multiple of 10
     train_main([
         "sdf-nerfacto", *common,
-        "--resume", "--override-start-step", "4",
-        "--pipeline.takeover-step", "4",
-        "--max-num-iterations", "6", "--train.max-steps", "6",
+        "--resume", "--override-start-step", "10",
+        "--pipeline.takeover-step", "10",
+        "--max-num-iterations", "12", "--train.max-steps", "12",
         "--pipeline.spp", "2", "--pipeline.takeover-image-size", "8",
         "--pipeline.batch-size", "1",
         "--pipeline.use-occlusion", "true",
@@ -70,3 +80,26 @@ def test_hdr_to_sdf_checkpoint_chain(turntable_scene, tmp_path):
         if k == "view_loss"
     ]
     assert np.isfinite(vals).all()
+
+
+def test_gen_data_resume_identical(tmp_path):
+    """--resume after deleting half the views re-renders ONLY the missing
+    ones, bit-identically (key streams advance over skipped views)."""
+    from nerf_emitter_tpu.scripts.gen_data import main as gen_main
+    from nerf_emitter_tpu.utils import exr
+
+    out = tmp_path / "scene"
+    args = ["--object", "sphere", "--n-views", "4", "--width", "8",
+            "--height", "8", "--spp", "2", "--out", str(out)]
+    gen_main(args)
+    imgs = sorted(out.glob("r_*.exr"))
+    assert len(imgs) == 4
+    want = [exr.read_exr(p) for p in imgs]
+    # drop views 1 and 3, resume
+    imgs[1].unlink()
+    imgs[3].unlink()
+    gen_main(args + ["--resume"])
+    got = [exr.read_exr(p) for p in sorted(out.glob("r_*.exr"))]
+    assert len(got) == 4
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a, b)
