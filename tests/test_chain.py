@@ -103,3 +103,37 @@ def test_gen_data_resume_identical(tmp_path):
     assert len(got) == 4
     for a, b in zip(want, got):
         np.testing.assert_array_equal(a, b)
+
+
+def test_render_cli_interpolate_and_spiral(tmp_path):
+    """The render CLI's interpolate and spiral subcommands (reference
+    render.py:808-818) drive a pretrain-only checkpoint end to end."""
+    from nerf_emitter_tpu.scripts.gen_data import main as gen_main
+    from nerf_emitter_tpu.scripts.render import main as render_main
+    from nerf_emitter_tpu.scripts.train import main as train_main
+
+    scene = tmp_path / "scene"
+    gen_main(["--object", "sphere", "--n-views", "4", "--width", "10",
+              "--height", "10", "--spp", "2", "--out", str(scene)])
+    out = tmp_path / "runs"
+    train_main([
+        "nerfacto",
+        "--datacfg.data", str(scene),
+        "--experiment-name", "r", "--output-dir", str(out),
+        "--train.num-rays-per-batch", "64",
+        "--max-num-iterations", "2", "--train.max-steps", "2",
+        "--steps-per-save", "1000", "--steps-per-eval-image", "1000",
+        "--model.num-nerf-samples", "8",
+        "--model.num-proposal-samples", "[16,8]",
+        "--model.log2-hashmap-size", "12", "--model.max-res", "128",
+        "--model.appearance-embedding-dim", "4",
+    ])
+    cfg = out / "r" / "nerfacto" / "config.json"
+    for sub, tag in (("interpolate", "interp"), ("spiral", "spiral")):
+        dst = tmp_path / sub
+        render_main([
+            sub, "--load-config", str(cfg), "--output-path", str(dst),
+            "--spp", "1", "--n-frames", "2",
+        ])
+        frames = list(dst.glob(f"{tag}_*"))
+        assert len(frames) >= 2, (sub, list(dst.iterdir()))

@@ -194,3 +194,45 @@ def test_nerf_emitter_fn_turntable_rotation(tiny_setup):
     d_w = rot.apply_dirs(rid, d)
     rgb_manual = make_nerf_emitter_fn(model, 1.0, aabb)(params)(x_w, d_w)
     np.testing.assert_allclose(rgb_rot, rgb_manual, rtol=1e-4, atol=1e-5)
+
+
+def test_set_relight_emitter_public_api(tiny_setup, tmp_path):
+    """Relighting via the public pipeline API (reference eval.py
+    emitter_xml_path swap, mitsuba_sdf.py:343-346): after takeover,
+    set_relight_emitter replaces the serving emitter with an envmap and the
+    serving render stays finite and changes with the light."""
+    import numpy as onp
+
+    from nerf_emitter_tpu.utils import exr
+
+    dataset, model, train_cfg, opt_cfg = tiny_setup
+    pipe = NerfEmitterPipeline(
+        _pipe_config(guiding_type="vmf"),
+        model, train_cfg, opt_cfg, dataset,
+        render_config=RenderConfig(trace=SphereTraceConfig(max_steps=16, t_max=3.0)),
+    )
+    pipe.guiding.downscale = 8
+    pipe.guiding.n_clusters = 4
+    pipe.guiding.max_points = 256
+    key = jax.random.PRNGKey(0)
+    for step in range(4):
+        key, k = jax.random.split(key)
+        pipe.train_iteration(step, k)
+    assert pipe.sdf_state is not None
+
+    before = onp.asarray(
+        pipe.render_camera_outputs(dataset, 0, jax.random.PRNGKey(9), spp=2)["rgb"]
+    )
+
+    env = onp.zeros((8, 16, 3), onp.float32)
+    env[:, :8] = 4.0  # bright half-sky: clearly different illumination
+    exr.write_exr(tmp_path / "relit.exr", env)
+    pipe.set_relight_emitter(tmp_path / "relit.exr")
+    assert pipe.sdf_state.scene.envmap is not None
+    assert pipe.sdf_state.scene.guiding is None
+
+    after = onp.asarray(
+        pipe.render_camera_outputs(dataset, 0, jax.random.PRNGKey(9), spp=2)["rgb"]
+    )
+    assert onp.isfinite(after).all()
+    assert onp.abs(after - before).max() > 1e-3  # the light actually changed
