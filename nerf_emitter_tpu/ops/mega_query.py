@@ -97,6 +97,41 @@ def _weights_rows(dens: jax.Array, deltas: jax.Array) -> jax.Array:
     return alphas * jnp.exp(-excl)
 
 
+def _resample_prep(weights: jax.Array, sbins: jax.Array):
+    """CDF + telescoped ramp coefficients for `_resample_rows` (split out so
+    the pipelined megakernel can emit the row passes in chunks)."""
+    s_in, r = weights.shape
+    w = weights + _HIST_PAD
+    w_sum = jnp.sum(w, axis=0, keepdims=True)  # (1, R)
+    padding = jnp.maximum(_EPS - w_sum, 0.0)
+    w = w + padding / s_in
+    w_sum = w_sum + padding
+    pdf = w / w_sum  # (S_in, R)
+    incl = _cumsum_rows(pdf)
+    cdf = jnp.concatenate(
+        [jnp.zeros((1, r), jnp.float32), jnp.minimum(1.0, incl[:-1]),
+         jnp.ones((1, r), jnp.float32)], axis=0,
+    )  # (S_in+1, R)
+
+    d_bins = sbins[1:] - sbins[:-1]  # (S_in, R)
+    d_cdf = cdf[1:] - cdf[:-1]
+    g = d_bins / jnp.maximum(d_cdf, _EPS)  # (S_in, R) slopes
+    zero = jnp.zeros((1, r), jnp.float32)
+    coef = jnp.concatenate([g, zero], 0) - jnp.concatenate([zero, g], 0)
+    return coef, cdf
+
+
+def _resample_emit(coef, cdf, n_out: int, lo: int, hi: int):
+    """Rows lo..hi-1 of the telescoped ramp-sum inverse CDF (the unrolled
+    scalar-u passes of `_resample_rows`)."""
+    step = (1.0 - _EPS) / n_out
+    rows = []
+    for i in range(lo, hi):
+        u_i = float(i) * step + 1.0 / (2.0 * (n_out + 1))
+        rows.append(jnp.sum(coef * jnp.maximum(u_i - cdf, 0.0), axis=0))
+    return rows
+
+
 def _resample_rows(
     weights: jax.Array, sbins: jax.Array, n_out: int
 ) -> jax.Array:
@@ -124,32 +159,21 @@ def _resample_rows(
     row's u_i enters as a PYTHON SCALAR over an unrolled row loop: every
     pass is a native 2D (S+1, R) op with scalar broadcast — measured 19%
     faster than 3D (out, chunk, R) broadcast tiles on v5e."""
-    s_in, r = weights.shape
-    w = weights + _HIST_PAD
-    w_sum = jnp.sum(w, axis=0, keepdims=True)  # (1, R)
-    padding = jnp.maximum(_EPS - w_sum, 0.0)
-    w = w + padding / s_in
-    w_sum = w_sum + padding
-    pdf = w / w_sum  # (S_in, R)
-    incl = _cumsum_rows(pdf)
-    cdf = jnp.concatenate(
-        [jnp.zeros((1, r), jnp.float32), jnp.minimum(1.0, incl[:-1]),
-         jnp.ones((1, r), jnp.float32)], axis=0,
-    )  # (S_in+1, R)
-
-    d_bins = sbins[1:] - sbins[:-1]  # (S_in, R)
-    d_cdf = cdf[1:] - cdf[:-1]
-    g = d_bins / jnp.maximum(d_cdf, _EPS)  # (S_in, R) slopes
-    zero = jnp.zeros((1, r), jnp.float32)
-    coef = jnp.concatenate([g, zero], 0) - jnp.concatenate([zero, g], 0)
-
-    # deterministic u grid: linspace(0, 1-eps, n_out+1) + 1/(2(n_out+1))
-    step = (1.0 - _EPS) / n_out
-    rows = []
-    for i in range(n_out + 1):
-        u_i = float(i) * step + 1.0 / (2.0 * (n_out + 1))
-        rows.append(jnp.sum(coef * jnp.maximum(u_i - cdf, 0.0), axis=0))
+    coef, cdf = _resample_prep(weights, sbins)
+    rows = _resample_emit(coef, cdf, n_out, 0, n_out + 1)
     return sbins[:1] + jnp.stack(rows, axis=0)
+
+
+def _density_subtile(
+    pos_cols, ws, bs, *, num_freqs, aabb_lo, aabb_inv_ext, disable_box,
+    avg_density,
+):
+    """One `subtile`-sample slice of `_density_rows`: pos (3, t) -> (t,)."""
+    x2, keep = _contract_and_select(pos_cols, aabb_lo, aabb_inv_ext, disable_box)
+    enc = _freq_rows_fmajor(x2, num_freqs)  # first-layer W pre-permuted
+    raw = _mlp_rowsT(enc, ws, bs)  # (1, t)
+    dens = avg_density * jnp.exp(jnp.minimum(raw[0] - 1.0, SAFE_EXP_MAX))
+    return jnp.where(keep, dens, 0.0)
 
 
 def _density_rows(
@@ -164,13 +188,11 @@ def _density_rows(
     pos = pos.reshape(3, s * r)  # layout no-op when R == 128
     outs = []
     for t0 in range(0, s * r, subtile):
-        x2, keep = _contract_and_select(
-            pos[:, t0 : t0 + subtile], aabb_lo, aabb_inv_ext, disable_box
-        )
-        enc = _freq_rows_fmajor(x2, num_freqs)  # first-layer W pre-permuted
-        raw = _mlp_rowsT(enc, ws, bs)  # (1, subtile)
-        dens = avg_density * jnp.exp(jnp.minimum(raw[0] - 1.0, SAFE_EXP_MAX))
-        outs.append(jnp.where(keep, dens, 0.0))
+        outs.append(_density_subtile(
+            pos[:, t0 : t0 + subtile], ws, bs, num_freqs=num_freqs,
+            aabb_lo=aabb_lo, aabb_inv_ext=aabb_inv_ext,
+            disable_box=disable_box, avg_density=avg_density,
+        ))
     return jnp.concatenate(outs, axis=0).reshape(s, r)
 
 
@@ -271,16 +293,252 @@ def _field_composite_kernel(
 
 
 # ---------------------------------------------------------------------------
+# pipelined single kernel: A(tile i) interleaved with B(tile i-1)
+# ---------------------------------------------------------------------------
+
+
+def _interleave_stages(a_list, b_list):
+    """Proportional round-robin merge preserving each list's order, starting
+    with b_list[0] (B's scratch read must precede A's scratch write)."""
+    out = [b_list[0]]
+    b_rest = b_list[1:]
+    ia = ib = 0
+    la, lb = len(a_list), len(b_rest)
+    while ia < la or ib < lb:
+        if ib < lb and (ia >= la or ib * la <= ia * lb):
+            out.append(b_rest[ib])
+            ib += 1
+        else:
+            out.append(a_list[ia])
+            ia += 1
+    return out
+
+
+def _mega_pipeline_kernel(
+    o_ref, d_ref, near_ref, far_ref, emb_ref, *refs,
+    n_w0, n_w1, n_base, n_head, n_emb, s0, s1, s2,
+    freqs0, freqs1, freqs_f, aabb_lo, aabb_inv_ext, disable_box,
+    avg_density, hdr, rgb_bias,
+):
+    """Software-pipelined fusion of kernels A and B: one grid step runs the
+    FIELD+COMPOSITE of tile i-1 (MXU-heavy: the 5-layer base MLP is the
+    chip's FLOP floor) interleaved with the PROPOSALS of tile i (VPU-heavy:
+    the inverse-CDF ramp sums are issue-bound). Tile i's spacing bins and
+    ray rows hand over through a VMEM scratch that B reads at the top of
+    the step and A overwrites at the bottom, so the in-order core always
+    has independent VPU work queued behind every MXU layer.
+
+    Grid is n_tiles+1: step 0 runs B on zero-initialized scratch (its
+    output block is re-written at step 1 before the deferred flush), step
+    n_tiles re-runs A on the clamped last tile (its scratch is never read).
+    Math per tile is emission-order identical to the two-kernel path.
+    """
+    k = 0
+    w0 = refs[k : k + n_w0]; k += n_w0
+    b0 = refs[k : k + n_w0]; k += n_w0
+    w1 = refs[k : k + n_w1]; k += n_w1
+    b1 = refs[k : k + n_w1]; k += n_w1
+    bw = refs[k : k + n_base]; k += n_base
+    bb = refs[k : k + n_base]; k += n_base
+    hw = refs[k : k + n_head]; k += n_head
+    hb = refs[k : k + n_head]; k += n_head
+    out_ref = refs[k]
+    scr_ref = refs[k + 1]  # rows: 0:3 o, 3:6 d, 6 s_near, 7 s_far, 8: sbins
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        scr_ref[:, :] = jnp.zeros((8 + s2 + 1, TILE_RAYS), jnp.float32)
+
+    r = TILE_RAYS
+    subtile = 8192
+    dens_kw = dict(
+        aabb_lo=aabb_lo, aabb_inv_ext=aabb_inv_ext, disable_box=disable_box,
+        avg_density=avg_density,
+    )
+
+    # ---- B stages: field + composite of the PREVIOUS tile from scratch
+    B = {}
+
+    def b_load():
+        s = scr_ref[:, :]
+        B["o"], B["d"] = s[0:3], s[3:6]
+        B["sn"], B["sf"] = s[6:7], s[7:8]
+        sbins = s[8 : 8 + s2 + 1]
+        eb = _spacing_pw_inv(sbins * (B["sf"] - B["sn"]) + B["sn"])
+        B["ebins"] = eb
+        mid = (eb[:-1] + eb[1:]) / 2.0
+        B["pos"] = (
+            B["o"][:, None, :] + B["d"][:, None, :] * mid[None]
+        ).reshape(3, s2 * r)
+
+    def b_enc():
+        x2, keep = _contract_and_select(
+            B["pos"], aabb_lo, aabb_inv_ext, disable_box
+        )
+        B["keep"] = keep
+        B["h"] = _freq_rows_fmajor(x2, freqs_f).astype(jnp.bfloat16)
+
+    def _layer(w_ref, b_ref, h):
+        out = jax.lax.dot_general(
+            w_ref[:].astype(jnp.bfloat16), h,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out + b_ref[:].astype(jnp.float32)[:, None]
+
+    def _b_hidden(w_ref, b_ref):
+        def f():
+            B["h"] = jnp.maximum(_layer(w_ref, b_ref, B["h"]).astype(jnp.bfloat16), 0)
+        return f
+
+    def b_base_out():  # 256 -> 1+geo, stays f32 (matches _mlp_rowsT tail)
+        B["base"] = _layer(bw[-1], bb[-1], B["h"])
+
+    def b_post():
+        base = B["base"]
+        dens = avg_density * jnp.exp(jnp.minimum(base[0] - 1.0, SAFE_EXP_MAX))
+        B["dens"] = jnp.where(B["keep"], dens, 0.0).reshape(s2, r)
+        dirs = jnp.broadcast_to(B["d"][:, None, :], (3, s2, r)).reshape(3, s2 * r)
+        rows = [_sh4_rows(dirs), base[1:]]
+        if n_emb:
+            emb = emb_ref[0, :n_emb]
+            rows.append(jnp.broadcast_to(emb[:, None], (n_emb, s2 * r)))
+        B["h"] = jnp.concatenate(rows, axis=0).astype(jnp.bfloat16)
+
+    def b_head_out():  # <=4-wide head: VPU reduce (matches _mlp_rowsT tail)
+        w, b = hw[-1][:], hb[-1][:]
+        h = B["h"].astype(jnp.float32)
+        raws = [
+            jnp.sum(w[:, o].astype(jnp.float32)[:, None] * h, axis=0)
+            + b[o].astype(jnp.float32)
+            for o in range(w.shape[1])
+        ]
+        B["raw"] = jnp.stack(raws, axis=0)
+
+    def b_comp():
+        raw = B["raw"]
+        if hdr:
+            rgb2d = jnp.exp(jnp.minimum(raw + rgb_bias, SAFE_EXP_MAX))
+        else:
+            rgb2d = jax.nn.sigmoid(raw)
+        bg = rgb2d[:, (s2 - 1) * r :]  # (3, R)
+        rgb = rgb2d.reshape(3, s2, r)
+        w_ = _weights_rows(B["dens"], B["ebins"][1:] - B["ebins"][:-1])
+        acc = jnp.sum(w_, axis=0)
+        comp = jnp.sum(w_.reshape(1, s2, r) * rgb, axis=1)
+        out_ref[:, :] = comp + bg * (1.0 - acc).reshape(1, r)
+
+    b_stages = [b_load, b_enc]
+    for wr, br in zip(bw[:-1], bb[:-1]):
+        b_stages.append(_b_hidden(wr, br))
+    b_stages += [b_base_out, b_post]
+    for wr, br in zip(hw[:-1], hb[:-1]):
+        b_stages.append(_b_hidden(wr, br))
+    b_stages += [b_head_out, b_comp]
+
+    # ---- A stages: proposals of THIS tile -> scratch
+    A = {}
+    wv0 = [x[:] for x in w0]
+    bv0 = [x[:] for x in b0]
+    wv1 = [x[:] for x in w1]
+    bv1 = [x[:] for x in b1]
+
+    def a_start():
+        A["o"], A["d"] = o_ref[:], d_ref[:]
+        A["sn"], A["sf"] = _spacing_pw(near_ref[:]), _spacing_pw(far_ref[:])
+        A["sbins0"] = _row_iota(s0 + 1, r) / float(s0)
+        eb = _spacing_pw_inv(A["sbins0"] * (A["sf"] - A["sn"]) + A["sn"])
+        A["ebins0"] = eb
+        mid = (eb[:-1] + eb[1:]) / 2.0
+        A["pos"] = (
+            A["o"][:, None, :] + A["d"][:, None, :] * mid[None]
+        ).reshape(3, s0 * r)
+        A["dens"] = []
+
+    def _a_dens(t0, ws, bs, freqs):
+        def f():
+            A["dens"].append(_density_subtile(
+                A["pos"][:, t0 : t0 + subtile], ws, bs, num_freqs=freqs,
+                **dens_kw,
+            ))
+        return f
+
+    def _a_scan(s_level, sbins_key):
+        def f():
+            dens = jnp.concatenate(A["dens"], axis=0).reshape(s_level, r)
+            eb = A["ebins0" if sbins_key == "sbins0" else "ebins1"]
+            wts = _weights_rows(dens, eb[1:] - eb[:-1])
+            A["coef"], A["cdf"] = _resample_prep(wts, A[sbins_key])
+            A["rows"] = []
+        return f
+
+    def _a_rows(n_out, lo, hi):
+        def f():
+            A["rows"] += _resample_emit(A["coef"], A["cdf"], n_out, lo, hi)
+        return f
+
+    def _a_fin(src_key, dst_key):
+        def f():
+            A[dst_key] = A[src_key][:1] + jnp.stack(A["rows"], axis=0)
+            if dst_key == "sbins1":
+                eb = _spacing_pw_inv(A["sbins1"] * (A["sf"] - A["sn"]) + A["sn"])
+                A["ebins1"] = eb
+                mid = (eb[:-1] + eb[1:]) / 2.0
+                A["pos"] = (
+                    A["o"][:, None, :] + A["d"][:, None, :] * mid[None]
+                ).reshape(3, s1 * r)
+                A["dens"] = []
+        return f
+
+    def a_store():
+        scr_ref[0:3, :] = A["o"]
+        scr_ref[3:6, :] = A["d"]
+        scr_ref[6:7, :] = A["sn"]
+        scr_ref[7:8, :] = A["sf"]
+        scr_ref[8 : 8 + s2 + 1, :] = A["sbins2"]
+
+    a_stages = [a_start]
+    a_stages += [_a_dens(t0, wv0, bv0, freqs0) for t0 in range(0, s0 * r, subtile)]
+    a_stages.append(_a_scan(s0, "sbins0"))
+    chunk = 33
+    for lo in range(0, s1 + 1, chunk):
+        a_stages.append(_a_rows(s1, lo, min(lo + chunk, s1 + 1)))
+    a_stages.append(_a_fin("sbins0", "sbins1"))
+    a_stages += [_a_dens(t0, wv1, bv1, freqs1) for t0 in range(0, s1 * r, subtile)]
+    a_stages.append(_a_scan(s1, "sbins1"))
+    for lo in range(0, s2 + 1, chunk):
+        a_stages.append(_a_rows(s2, lo, min(lo + chunk, s2 + 1)))
+    a_stages.append(_a_fin("sbins1", "sbins2"))
+    a_stages.append(a_store)
+
+    for stage in _interleave_stages(a_stages, b_stages):
+        stage()
+
+
+# ---------------------------------------------------------------------------
 # builder
 # ---------------------------------------------------------------------------
 
 
-def make_mega_radiance_query(model, *, disable_box=None):
+def make_mega_radiance_query(model, *, disable_box=None, pipelined=None):
     """Drop-in replacement for fused_field.make_fused_radiance_query using
-    the two megakernels. Same contract:
-    query(params, rays, camera_index=None) -> rgb (n, 3)."""
+    the megakernels. Same contract:
+    query(params, rays, camera_index=None) -> rgb (n, 3).
+
+    pipelined=True fuses A+B into the software-pipelined single kernel
+    (`_mega_pipeline_kernel`); default comes from the
+    NERF_EMITTER_MEGA_PIPELINED env var (off unless set to '1' — flip the
+    default once the chip A/B confirms the win). Math per tile is
+    identical either way."""
     assert model.implementation == "freq", "mega path is freq-only"
+    import os
+
     from .fused_field import make_fused_radiance_query
+
+    if pipelined is None:
+        pipelined = os.environ.get("NERF_EMITTER_MEGA_PIPELINED", "0") == "1"
 
     aabb = jnp.asarray(model.aabb, jnp.float32)
     aabb_lo = tuple(float(x) for x in aabb[0])
@@ -331,6 +589,63 @@ def make_mega_radiance_query(model, *, disable_box=None):
         tile = lambda rows: pl.BlockSpec(
             (rows, TILE_RAYS), lambda i: (0, i), memory_space=pltpu.VMEM
         )
+        f = p["field"]
+        bws, bbs = _mlp_params(f["base_mlp"])
+        field_freqs = _freqs_of(bws[0])
+        bws = _perm_first(bws, field_freqs)
+        hws, hbs = _mlp_params(f["head_mlp"])
+        if model.appearance_embedding_dim > 0:
+            table = f["appearance_embedding"]["embedding"]
+            cam = camera_index if camera_index is not None else 0
+            emb = table[cam]
+        else:
+            emb = jnp.zeros((0,), jnp.float32)
+        n_emb = emb.shape[0]
+        emb2 = emb[None, :] if n_emb else jnp.zeros((1, 1), jnp.float32)
+
+        if pipelined:
+            n_tiles = np_ // TILE_RAYS
+            kern = functools.partial(
+                _mega_pipeline_kernel,
+                n_w0=len(ws0), n_w1=len(ws1), n_base=len(bws),
+                n_head=len(hws), n_emb=n_emb, s0=s0, s1=s1, s2=s2,
+                freqs0=prop_freqs[0], freqs1=prop_freqs[1],
+                freqs_f=field_freqs, aabb_lo=aabb_lo,
+                aabb_inv_ext=aabb_inv_ext, disable_box=dbox,
+                avg_density=1.0, hdr=model.hdr, rgb_bias=model.rgb_bias,
+            )
+            ray_tile = lambda rows: pl.BlockSpec(
+                (rows, TILE_RAYS),
+                lambda i: (0, jnp.minimum(i, n_tiles - 1)),
+                memory_space=pltpu.VMEM,
+            )
+            rgb_t = pl.pallas_call(
+                kern,
+                grid=(n_tiles + 1,),
+                in_specs=[
+                    ray_tile(3), ray_tile(3), ray_tile(1), ray_tile(1),
+                    full(emb2.shape),
+                    *[full(w.shape) for w in ws0], *[full(b.shape) for b in bs0],
+                    *[full(w.shape) for w in ws1], *[full(b.shape) for b in bs1],
+                    *[full(w.shape) for w in bws], *[full(b.shape) for b in bbs],
+                    *[full(w.shape) for w in hws], *[full(b.shape) for b in hbs],
+                ],
+                out_specs=pl.BlockSpec(
+                    (3, TILE_RAYS),
+                    lambda i: (0, jnp.maximum(i, 1) - 1),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct((3, np_), jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((8 + s2 + 1, TILE_RAYS), jnp.float32)
+                ],
+                interpret=_interpret(),
+            )(
+                o_t, d_t, near_t, far_t, emb2,
+                *ws0, *bs0, *ws1, *bs1, *bws, *bbs, *hws, *hbs,
+            )
+            return rgb_t[:, :n].T
+
         kern_a = functools.partial(
             _proposal_kernel,
             n_w0=len(ws0), n_w1=len(ws1), s0=s0, s1=s1, s2=s2,
@@ -351,19 +666,6 @@ def make_mega_radiance_query(model, *, disable_box=None):
             interpret=_interpret(),
         )(o_t, d_t, near_t, far_t, *ws0, *bs0, *ws1, *bs1)
 
-        f = p["field"]
-        bws, bbs = _mlp_params(f["base_mlp"])
-        field_freqs = _freqs_of(bws[0])
-        bws = _perm_first(bws, field_freqs)
-        hws, hbs = _mlp_params(f["head_mlp"])
-        if model.appearance_embedding_dim > 0:
-            table = f["appearance_embedding"]["embedding"]
-            cam = camera_index if camera_index is not None else 0
-            emb = table[cam]
-        else:
-            emb = jnp.zeros((0,), jnp.float32)
-        n_emb = emb.shape[0]
-        emb2 = emb[None, :] if n_emb else jnp.zeros((1, 1), jnp.float32)
         kern_b = functools.partial(
             _field_composite_kernel,
             n_base=len(bws), n_head=len(hws), n_emb=n_emb, s2=s2,

@@ -168,9 +168,13 @@ def main():
 
     from nerf_emitter_tpu.ops.mega_query import make_mega_radiance_query
 
-    fused = make_mega_radiance_query(model)
+    fused = make_mega_radiance_query(model, pipelined=False)
     mega = jax.jit(lambda pr, rb: jnp.sum(fused(pr, rb)))
     t_full = timed(mega, params, rays)
+
+    fused_p = make_mega_radiance_query(model, pipelined=True)
+    mega_p = jax.jit(lambda pr, rb: jnp.sum(fused_p(pr, rb)))
+    t_pipe = timed(mega_p, params, rays)
 
     staged = make_fused_radiance_query(model)
     staged_j = jax.jit(lambda pr, rb: jnp.sum(staged(pr, rb)))
@@ -178,10 +182,12 @@ def main():
 
     print(f"kernel A (proposals):      {t_a:8.2f} ms")
     print(f"kernel B (field+composite):{t_b:8.2f} ms")
-    print(f"mega query (full):         {t_full:8.2f} ms")
+    print(f"mega query (two kernels):  {t_full:8.2f} ms")
     print(f"  overhead (full - A - B): {t_full - t_a - t_b:8.2f} ms")
+    print(f"mega query (pipelined):    {t_pipe:8.2f} ms")
     print(f"staged query:              {t_staged:8.2f} ms")
-    print(f"rays/s (mega):             {NUM_RAYS / t_full * 1e3:,.0f}")
+    print(f"rays/s (mega 2-kernel):    {NUM_RAYS / t_full * 1e3:,.0f}")
+    print(f"rays/s (mega pipelined):   {NUM_RAYS / t_pipe * 1e3:,.0f}")
 
 
 if __name__ == "__main__":

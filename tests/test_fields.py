@@ -303,3 +303,35 @@ def test_mega_query_matches_staged():
         lambda o: jnp.sum(mega(params, rays.replace(origins=o), camera_index=jnp.int32(1)))
     )(rays.origins)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_mega_query_pipelined_matches_two_kernel():
+    """The software-pipelined single megakernel must reproduce the
+    two-kernel mega path EXACTLY (same per-tile math, emission order
+    only), including the n=1-tile edge and tile padding."""
+    import numpy as np
+
+    from nerf_emitter_tpu.cameras.rays import RayBundle
+    from nerf_emitter_tpu.models.nerfacto import NerfactoModel
+    from nerf_emitter_tpu.ops.mega_query import make_mega_radiance_query
+
+    model = NerfactoModel(
+        aabb=AABB, num_nerf_samples=6, num_proposal_samples=(12, 8),
+        num_cameras=4, appearance_embedding_dim=8, implementation="freq",
+    )
+    key = jax.random.PRNGKey(0)
+    for n in (100, 300):  # 1 tile (padded) and 3 tiles (padded)
+        d = jax.random.normal(key, (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        rays = RayBundle(
+            origins=jnp.zeros((n, 3)), directions=d,
+            pixel_area=jnp.full((n, 1), 1e-4),
+            nears=jnp.full((n, 1), 0.05), fars=jnp.full((n, 1), 3.0),
+            camera_indices=jnp.ones((n, 1), jnp.int32),
+        )
+        params = model.init(jax.random.PRNGKey(1), rays)
+        two = make_mega_radiance_query(model, pipelined=False)
+        pipe = make_mega_radiance_query(model, pipelined=True)
+        a = two(params, rays, camera_index=jnp.int32(1))
+        b = pipe(params, rays, camera_index=jnp.int32(1))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
