@@ -1,0 +1,110 @@
+#!/bin/bash
+# Round-2 TPU work queue. Stages are idempotent: each leaves a marker in
+# /tmp/r2_done/<stage> on success and is skipped thereafter. The outer
+# loop (r2_loop.sh) retries after tunnel crashes.
+set -x
+cd /root/repo
+mkdir -p /tmp/r2_done /tmp/r2_out
+
+stage_done() { [ -f "/tmp/r2_done/$1" ]; }
+mark() { touch "/tmp/r2_done/$1"; }
+
+# ---- stage 0: kernel profile (two-kernel vs pipelined megakernel) — fast,
+# runs first so the perf A/B lands before the multi-hour E2E occupies the chip
+if ! stage_done profile_pipe; then
+  timeout 1500 python scripts/profile_query.py > /tmp/r2_out/profile_pipe.log 2>&1 || exit 1
+  mark profile_pipe
+fi
+
+# ---- stage 1: production scene (composite object, banded albedo, 256^2)
+if ! stage_done sceneA; then
+  python -m nerf_emitter_tpu.scripts.gen_data --object composite --albedo bands \
+    --n-views 100 --width 256 --height 256 --spp 64 --path-type random \
+    --resume --out /tmp/sceneA || exit 1
+  mark sceneA
+fi
+
+# ---- stage 2: production E2E sdf-nerfacto at the reference schedule
+# 2000 NeRF + 320 SDF steps, batch 4, spp 64 (aggregate estimator,
+# attached 16), takeover render res 64 -> 128 -> 256 (upsample schedule),
+# vMF guiding 32768 points / 64 clusters, EMA swap at mi-step 319.
+# E2E_SPP / E2E_BATCH shrink the run for a tight window (defaults =
+# reference-scale spp 64, batch 4).
+E2E_SPP=${E2E_SPP:-64}
+E2E_BATCH=${E2E_BATCH:-4}
+if ! stage_done e2e_train; then
+  python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
+    --datacfg.data /tmp/sceneA --experiment-name prod --output-dir /tmp/r2_out \
+    --pipeline.spp "$E2E_SPP" --pipeline.batch-size "$E2E_BATCH" \
+    --steps-per-save 250 --steps-per-eval-image 10000 \
+    --resume \
+    > /tmp/r2_out/e2e_train.log 2>&1 || exit 1
+  mark e2e_train
+fi
+
+# ---- stage 3: eval at spp 64 (NVS metrics on the held-out split)
+if ! stage_done e2e_eval; then
+  python -m nerf_emitter_tpu.scripts.eval \
+    --load-config /tmp/r2_out/prod/sdf-nerfacto/config.json \
+    --spp 64 --output-path /tmp/r2_out/e2e_metrics.json \
+    > /tmp/r2_out/e2e_eval.log 2>&1 || exit 1
+  mark e2e_eval
+fi
+
+# ---- stage 4: relighting GT + relighting eval
+if ! stage_done relight_gt; then
+  python - <<'PY' || exit 1
+import numpy as np
+from nerf_emitter_tpu.utils import exr
+img = exr.read_exr('/tmp/sceneA/env.exr')
+exr.write_exr('/tmp/env_relit.exr', np.roll(img[..., :3], img.shape[1] // 2, axis=1))
+PY
+  python -m nerf_emitter_tpu.scripts.gen_data --object composite --albedo bands \
+    --envmap /tmp/env_relit.exr --n-views 100 --width 256 --height 256 \
+    --spp 48 --path-type random --resume --out /tmp/sceneA_relit || exit 1
+  mark relight_gt
+fi
+if ! stage_done relight_eval; then
+  python -m nerf_emitter_tpu.scripts.eval \
+    --load-config /tmp/r2_out/prod/sdf-nerfacto/config.json \
+    --emitter-path /tmp/env_relit.exr --test-data /tmp/sceneA_relit \
+    --spp 64 --output-path /tmp/r2_out/relight_metrics.json \
+    > /tmp/r2_out/relight_eval.log 2>&1 || exit 1
+  mark relight_eval
+fi
+
+# ---- stage 5: freq-vs-hash A/B (sceneA full res + scene_v small)
+for scene in /tmp/sceneA /tmp/scene_v; do
+  sname=$(basename $scene)
+  for impl in freq hash; do
+    name="ab_${sname}_${impl}"
+    if ! stage_done $name; then
+      python -m nerf_emitter_tpu.scripts.train hdr-nerfacto \
+        --datacfg.data $scene --experiment-name ${name} --output-dir /tmp/ab \
+        --model.implementation ${impl} --train.num-rays-per-batch 16384 \
+        --max-num-iterations 2000 --train.max-steps 2000 \
+        --steps-per-save 2000 --steps-per-eval-image 4000 \
+        > /tmp/r2_out/${name}.log 2>&1 || exit 1
+      python -m nerf_emitter_tpu.scripts.eval \
+        --load-config /tmp/ab/${name}/hdr-nerfacto/config.json \
+        --spp 1 --output-path /tmp/r2_out/${name}_metrics.json \
+        >> /tmp/r2_out/${name}.log 2>&1 || exit 1
+      mark $name
+    fi
+  done
+done
+
+# ---- stage 6: real-capture chain (turntable + occlusion) at honest-small
+if ! stage_done tt_scene; then
+  python -m nerf_emitter_tpu.scripts.gen_data --object composite --albedo bands \
+    --n-views 60 --width 128 --height 128 --spp 32 --n-rotations 3 \
+    --path-type spiral --resume --out /tmp/scene_tt || exit 1
+  mark tt_scene
+fi
+if ! stage_done tt_chain; then
+  PRETRAIN=800 TOTAL=880 OUT=/tmp/r2_out/tt EXPORT_RES=128 RENDER_SPP=16 bash scripts/real/ours/run.sh /tmp/scene_tt tt 2>&1 \
+    | tail -200 > /tmp/r2_out/tt_chain.log || exit 1
+  mark tt_chain
+fi
+
+echo ALL_STAGES_DONE
