@@ -167,9 +167,6 @@ class Trainer:
             data_axis=(None if self.mesh is None else "data"),
         )
         self.pipeline.data_dir = cfg.datacfg.data  # env.exr lookup root
-        from ..configs.cli import save_config
-
-        save_config(cfg, self.run_dir / "config.json")
 
         self.viewer_state = None
         if cfg.viewer_port:
@@ -186,6 +183,12 @@ class Trainer:
         reference's --load-dir + --override-start-step chaining used to run
         hdr-nerfacto -> sdf-nerfacto, scripts/real/ours/run.sh:24-25)."""
         cfg = self.config
+        # serialize the run config ONLY when training: eval/render tools
+        # also construct a Trainer from a loaded (and possibly overridden)
+        # config, and must never clobber the run's config.json
+        from ..configs.cli import save_config
+
+        save_config(cfg, self.run_dir / "config.json")
         key = jax.random.PRNGKey(cfg.seed)
         t_start = time.time()
         n_rays = cfg.train.num_rays_per_batch

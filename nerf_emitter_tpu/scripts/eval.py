@@ -43,8 +43,11 @@ def main(argv=None):
     config = load_config(args.load_config)
     if args.test_data is not None:
         config.datacfg.test_data = args.test_data
-    if args.emitter_path is not None:
-        config.pipeline.guiding_type = "emitter_xml"
+    # NOTE: the relighting emitter swap happens AFTER checkpoint restore via
+    # the public set_relight_emitter API — flipping config.guiding_type
+    # before setup would change the SDF-state pytree template (vMF guiding
+    # arrays / envmap slots) and break the orbax restore of a run trained
+    # with a different guiding type.
 
     trainer = Trainer(config)
     trainer.setup()

@@ -79,21 +79,25 @@ def mape(pred: jax.Array, gt: jax.Array, eps: float = 1e-2) -> jax.Array:
 
 
 def ssim(pred: jax.Array, gt: jax.Array, max_val: float = 1.0) -> jax.Array:
-    """Structural similarity over (H, W, C) images, 11x11 gaussian window."""
+    """Structural similarity over (H, W, C) images, 11x11 gaussian window
+    (shrunk to the largest odd tap count that fits images smaller than 11
+    pixels — a VALID conv with window > image yields an empty mean = NaN)."""
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
-    # 11-tap gaussian, sigma 1.5
-    x = jnp.arange(11, dtype=jnp.float32) - 5.0
+    taps = min(11, pred.shape[0], pred.shape[1])
+    taps = taps if taps % 2 == 1 else taps - 1
+    # gaussian window, sigma 1.5
+    x = jnp.arange(taps, dtype=jnp.float32) - (taps - 1) / 2.0
     g = jnp.exp(-0.5 * (x / 1.5) ** 2)
     g = g / jnp.sum(g)
-    kernel = jnp.outer(g, g)[:, :, None, None]  # (11, 11, 1, 1)
+    kernel = jnp.outer(g, g)[:, :, None, None]  # (taps, taps, 1, 1)
 
     def filt(img):
         # img: (H, W, C) -> depthwise conv per channel
         img = jnp.moveaxis(img, -1, 0)[:, None]  # (C, 1, H, W)
         out = jax.lax.conv_general_dilated(
             img,
-            jnp.transpose(kernel, (2, 3, 0, 1)),  # (1, 1, 11, 11)
+            jnp.transpose(kernel, (2, 3, 0, 1)),  # (1, 1, taps, taps)
             window_strides=(1, 1),
             padding="VALID",
         )

@@ -137,3 +137,53 @@ def test_render_cli_interpolate_and_spiral(tmp_path):
         ])
         frames = list(dst.glob(f"{tag}_*"))
         assert len(frames) >= 2, (sub, list(dst.iterdir()))
+
+
+def test_eval_cli_relight_preserves_run_config(tmp_path):
+    """Relighting eval through the CLI: restore a vMF-guided takeover
+    checkpoint, swap the emitter AFTER restore (a pre-setup guiding_type
+    flip changes the SDF-state pytree template and breaks the orbax
+    restore), and never rewrite the run's config.json (eval/render tools
+    construct a Trainer from an overridden config)."""
+    import json
+
+    from nerf_emitter_tpu.scripts.eval import main as eval_main
+    from nerf_emitter_tpu.scripts.gen_data import main as gen_main
+    from nerf_emitter_tpu.scripts.train import main as train_main
+    from nerf_emitter_tpu.utils import exr
+
+    scene = tmp_path / "scene"
+    gen_main(["--object", "sphere", "--n-views", "4", "--width", "10",
+              "--height", "10", "--spp", "2", "--out", str(scene)])
+    out = tmp_path / "runs"
+    train_main([
+        "sdf-nerfacto",
+        "--datacfg.data", str(scene),
+        "--experiment-name", "rl", "--output-dir", str(out),
+        "--train.num-rays-per-batch", "64",
+        "--pipeline.takeover-step", "2",
+        "--max-num-iterations", "4", "--train.max-steps", "4",
+        "--pipeline.spp", "2", "--pipeline.takeover-image-size", "8",
+        "--pipeline.batch-size", "1", "--pipeline.sdf-init", "sphere",
+        "--steps-per-save", "1000", "--steps-per-eval-image", "1000",
+        "--model.num-nerf-samples", "8",
+        "--model.num-proposal-samples", "[16,8]",
+        "--model.log2-hashmap-size", "12", "--model.max-res", "128",
+    ])
+    cfg_path = out / "rl" / "sdf-nerfacto" / "config.json"
+    cfg_before = cfg_path.read_text()
+    assert json.loads(cfg_before)["pipeline"]["guiding_type"] == "vmf"
+
+    img = exr.read_exr(scene / "env.exr")
+    relit = tmp_path / "env_relit.exr"
+    exr.write_exr(relit, np.roll(img[..., :3], img.shape[1] // 2, axis=1))
+
+    metrics_path = tmp_path / "relight_metrics.json"
+    eval_main([
+        "--load-config", str(cfg_path),
+        "--emitter-path", str(relit), "--test-data", str(scene),
+        "--spp", "2", "--output-path", str(metrics_path),
+    ])
+    res = json.loads(metrics_path.read_text())["results"]
+    assert np.isfinite(list(res.values())).all()
+    assert cfg_path.read_text() == cfg_before  # eval never rewrites it
