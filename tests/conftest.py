@@ -57,6 +57,7 @@ _SLOW_TESTS = {
     "test_model_forward_and_grad",
     "test_one_sample_mis_matches_deterministic_mis",
     "test_render_cli_interpolate_and_spiral",
+    "test_eval_cli_relight_preserves_run_config",
 }
 
 
