@@ -166,7 +166,24 @@ METHOD_DESCRIPTIONS = {
 }
 
 
+def all_method_configs():
+    """Built-in methods merged with plugin-registered ones.
+
+    Returns (name -> config factory, name -> description). Plugins come
+    from entry points / env vars (plugins/registry.py, mirroring
+    nerfstudio/plugins/registry.py:34-71); built-ins win on name clash so
+    a plugin cannot shadow e.g. sdf-nerfacto.
+    """
+    from ..plugins.registry import discover_methods
+
+    methods, descriptions = discover_methods()
+    methods.update(METHOD_CONFIGS)
+    descriptions.update(METHOD_DESCRIPTIONS)
+    return methods, descriptions
+
+
 def get_method_config(name: str) -> ExperimentConfig:
-    if name not in METHOD_CONFIGS:
-        raise KeyError(f"unknown method {name!r}; have {sorted(METHOD_CONFIGS)}")
-    return METHOD_CONFIGS[name]()
+    methods, _ = all_method_configs()
+    if name not in methods:
+        raise KeyError(f"unknown method {name!r}; have {sorted(methods)}")
+    return methods[name]()

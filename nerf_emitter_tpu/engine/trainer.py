@@ -39,7 +39,21 @@ class Trainer:
 
     def setup(self):
         cfg = self.config
-        if cfg.datacfg.dataparser == "nerfstudio-data":
+        from ..plugins.registry import discover_dataparsers
+
+        plugin_parsers = discover_dataparsers()
+        if cfg.datacfg.dataparser in plugin_parsers:
+            # externally-registered dataparser (plugins/registry.py,
+            # mirroring nerfstudio/plugins/registry_dataparser.py)
+            parse_split = plugin_parsers[cfg.datacfg.dataparser].setup(
+                cfg.datacfg
+            )
+            dp_cfg = None
+
+            def parse(_cfg, split):
+                return parse_split(split)
+
+        elif cfg.datacfg.dataparser == "nerfstudio-data":
             from ..data.dataparsers.nerfstudio import (
                 NerfstudioDataparserConfig,
                 parse_nerfstudio,

@@ -16,12 +16,7 @@ import argparse
 import sys
 
 from ..configs.cli import add_dataclass_args, dataclass_from_args
-from ..configs.methods import (
-    METHOD_CONFIGS,
-    METHOD_DESCRIPTIONS,
-    ExperimentConfig,
-    get_method_config,
-)
+from ..configs.methods import ExperimentConfig, all_method_configs
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -29,9 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="train", description="TPU-native NeRF-emitter training"
     )
     subs = parser.add_subparsers(dest="method", required=True)
-    for name in METHOD_CONFIGS:
-        sub = subs.add_parser(name, help=METHOD_DESCRIPTIONS.get(name, ""))
-        defaults = get_method_config(name)
+    methods, descriptions = all_method_configs()
+    for name, factory in methods.items():
+        sub = subs.add_parser(name, help=descriptions.get(name, ""))
+        defaults = factory()
         add_dataclass_args(sub, ExperimentConfig)
         sub.set_defaults(**_flatten_defaults(defaults))
     return parser
