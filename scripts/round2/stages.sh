@@ -73,7 +73,13 @@ if ! stage_done relight_eval; then
   mark relight_eval
 fi
 
-# ---- stage 5: freq-vs-hash A/B (sceneA full res + scene_v small)
+# ---- stage 5: freq-vs-hash A/B (sceneA full res + a second scene)
+if ! stage_done scene_v; then
+  python -m nerf_emitter_tpu.scripts.gen_data --object sphere --albedo const \
+    --n-views 60 --width 192 --height 192 --spp 48 --path-type random \
+    --resume --out /tmp/scene_v || exit 1
+  mark scene_v
+fi
 for scene in /tmp/sceneA /tmp/scene_v; do
   sname=$(basename $scene)
   for impl in freq hash; do
