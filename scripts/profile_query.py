@@ -176,6 +176,15 @@ def main():
     mega_p = jax.jit(lambda pr, rb: jnp.sum(fused_p(pr, rb)))
     t_pipe = timed(mega_p, params, rays)
 
+    # pipelined with column-chunked B matmuls (finer MXU/VPU interleave)
+    t_chunk = {}
+    for nc in (2, 3, 4):
+        os.environ["NERF_EMITTER_MEGA_MXU_CHUNK"] = str(nc)
+        fused_c = make_mega_radiance_query(model, pipelined=True)
+        mega_c = jax.jit(lambda pr, rb, f=fused_c: jnp.sum(f(pr, rb)))
+        t_chunk[nc] = timed(mega_c, params, rays)
+    os.environ.pop("NERF_EMITTER_MEGA_MXU_CHUNK", None)
+
     staged = make_fused_radiance_query(model)
     staged_j = jax.jit(lambda pr, rb: jnp.sum(staged(pr, rb)))
     t_staged = timed(staged_j, params, rays)
@@ -185,6 +194,8 @@ def main():
     print(f"mega query (two kernels):  {t_full:8.2f} ms")
     print(f"  overhead (full - A - B): {t_full - t_a - t_b:8.2f} ms")
     print(f"mega query (pipelined):    {t_pipe:8.2f} ms")
+    for nc, t in t_chunk.items():
+        print(f"mega query (pipe chunk={nc}):{t:8.2f} ms")
     print(f"staged query:              {t_staged:8.2f} ms")
     print(f"rays/s (mega 2-kernel):    {NUM_RAYS / t_full * 1e3:,.0f}")
     print(f"rays/s (mega pipelined):   {NUM_RAYS / t_pipe * 1e3:,.0f}")

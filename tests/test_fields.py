@@ -335,3 +335,37 @@ def test_mega_query_pipelined_matches_two_kernel():
         a = two(params, rays, camera_index=jnp.int32(1))
         b = pipe(params, rays, camera_index=jnp.int32(1))
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+
+
+def test_mega_query_pipelined_mxu_chunked_matches(monkeypatch):
+    """Column-chunking B's hidden-layer matmuls inside the pipelined
+    megakernel (NERF_EMITTER_MEGA_MXU_CHUNK>1, the finer MXU/VPU
+    interleave) is bit-identical to the unchunked pipeline: column
+    slicing commutes with the matmul."""
+    import numpy as np
+
+    from nerf_emitter_tpu.cameras.rays import RayBundle
+    from nerf_emitter_tpu.models.nerfacto import NerfactoModel
+    from nerf_emitter_tpu.ops.mega_query import make_mega_radiance_query
+
+    model = NerfactoModel(
+        aabb=AABB, num_nerf_samples=6, num_proposal_samples=(12, 8),
+        num_cameras=4, appearance_embedding_dim=8, implementation="freq",
+    )
+    n = 200
+    key = jax.random.PRNGKey(0)
+    d = jax.random.normal(key, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays = RayBundle(
+        origins=jnp.zeros((n, 3)), directions=d,
+        pixel_area=jnp.full((n, 1), 1e-4),
+        nears=jnp.full((n, 1), 0.05), fars=jnp.full((n, 1), 3.0),
+        camera_indices=jnp.ones((n, 1), jnp.int32),
+    )
+    params = model.init(jax.random.PRNGKey(1), rays)
+    plain = make_mega_radiance_query(model, pipelined=True)
+    a = plain(params, rays, camera_index=jnp.int32(1))
+    monkeypatch.setenv("NERF_EMITTER_MEGA_MXU_CHUNK", "3")
+    chunked = make_mega_radiance_query(model, pipelined=True)
+    b = chunked(params, rays, camera_index=jnp.int32(1))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
