@@ -104,6 +104,7 @@ def make_nerf_emitter_fn(
     use_fused: bool = True,
     mesh=None,
     data_axis: Optional[str] = None,
+    samples_override: Optional[tuple] = None,
 ):
     """Returns emitter_fn_of(params, camera_index=None, rot_id=None) ->
     (x_unit, d) -> radiance.
@@ -123,8 +124,24 @@ def make_nerf_emitter_fn(
     - `use_fused` (freq implementation only): serve the query through the
       megafused Pallas kernels (ops/mega_query.py — the whole proposal +
       field pipeline in two kernels, ~3x over the plain XLA path);
-      gradients recompute through the plain path (custom_vjp).
+      gradients recompute through the plain path (custom_vjp),
+    - `samples_override` = (proposal_0, proposal_1, nerf) replaces the
+      model's per-ray sample schedule FOR THE EMITTER QUERY ONLY (params
+      are shared; sample counts shape the sampling ops, not the weights).
+      The reference always queries at the primary-view schedule
+      (base_model.py:292-313); on TPU the query cost is linear in the
+      sample budget while the emitter radiance is integrated over >=64
+      spp, so halving the schedule trades invisible per-ray variance for
+      ~2x query throughput — a TPU-first knob, default off.
     """
+    if samples_override is not None:
+        p0, p1, ns = samples_override
+        for s in (p0, p1, ns):
+            assert s % 8 == 0, "emitter sample counts must be multiples of 8"
+        model = model.clone(
+            num_proposal_samples=(int(p0), int(p1)),
+            num_nerf_samples=int(ns),
+        )
     fused_query = None
     # TPU-backend gate: off-TPU the kernels would run in interpret mode
     # (slow). Under a mesh the pallas_calls are wrapped in shard_map over
@@ -221,6 +238,11 @@ class NerfEmitterPipelineConfig:
     # mean in detached bounded dispatches and the gradient flows through
     # spp_attached samples; 0 = always exact single-dispatch gradients
     spp_attached: int = 16
+    # (proposal_0, proposal_1, nerf) per-ray sample schedule for the
+    # NeRF-as-emitter query only; None = the model's primary-view schedule
+    # (reference parity). E.g. (128, 48, 24) halves query cost for
+    # per-ray variance that the >=64-spp emitter integral absorbs.
+    emitter_samples: Optional[tuple] = None
     takeover_image_size: int = 64
     sdf_init: str = "tsdf"  # 'tsdf' (from NeRF depth) | 'sphere'
     env_path: Optional[str] = None  # GT envmap for guiding_type='env'
@@ -335,6 +357,7 @@ class NerfEmitterPipeline:
             rotater=rotater,
             mesh=self.mesh,
             data_axis=self.data_axis,
+            samples_override=config.emitter_samples,
         )
 
     # ---------------------------------------------------------- NeRF phase

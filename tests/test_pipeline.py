@@ -236,3 +236,36 @@ def test_set_relight_emitter_public_api(tiny_setup, tmp_path):
     )
     assert onp.isfinite(after).all()
     assert onp.abs(after - before).max() > 1e-3  # the light actually changed
+
+
+def test_emitter_samples_override(tiny_setup):
+    """samples_override serves the emitter query at a reduced per-ray
+    schedule with the SAME params (a TPU-first throughput knob the
+    reference lacks — it always queries at the primary-view schedule,
+    base_model.py:292-313). On a trained-for-0-steps smooth field the
+    reduced-schedule radiance must agree statistically with the full one."""
+    dataset, model, train_cfg, opt_cfg = tiny_setup
+    rays = dataset.cameras.generate_rays(
+        jnp.zeros((4,), jnp.int32), jnp.zeros((4, 2), jnp.int32),
+        nears=0.05, fars=3.0,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), rays)
+    aabb = jnp.asarray([[-0.3, -0.3, -0.3], [0.3, 0.3, 0.3]])
+    full = make_nerf_emitter_fn(model, 1.0, aabb)(params)
+    # halved schedule, multiples of 8 (kernel tile constraint)
+    cheap = make_nerf_emitter_fn(
+        model, 1.0, aabb, samples_override=(8, 8, 8)
+    )(params)
+    x = jnp.full((64, 3), 0.5)
+    d = jax.random.normal(jax.random.PRNGKey(1), (64, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    r_full = full(x, d)
+    r_cheap = cheap(x, d)
+    assert r_cheap.shape == (64, 3)
+    assert bool(jnp.all(jnp.isfinite(r_cheap))) and bool(jnp.all(r_cheap >= 0))
+    # same field, fewer quadrature points: means must agree loosely
+    mf, mc = float(jnp.mean(r_full)), float(jnp.mean(r_cheap))
+    assert abs(mf - mc) <= 0.5 * max(mf, mc, 1e-3)
+    # non-multiple-of-8 schedules are rejected up front
+    with pytest.raises(AssertionError):
+        make_nerf_emitter_fn(model, 1.0, aabb, samples_override=(12, 8, 6))
