@@ -15,6 +15,14 @@ if ! stage_done prof_samples; then
   mark prof_samples
 fi
 
+# shard_map fused query under a real-TPU mesh (1-wide; 8-wide parity is
+# the CPU-mesh test) — proves the fused path serves under a mesh on chip
+if ! stage_done fused_mesh; then
+  timeout 1200 python scripts/round2/fused_mesh_smoke.py \
+    > /tmp/r2_out/fused_mesh.log 2>&1 || exit 1
+  mark fused_mesh
+fi
+
 # refresh the headline bench number with the pipelined megakernel default
 if ! stage_done bench_r2; then
   timeout 1200 python bench.py > /tmp/r2_out/bench_r2.log 2>&1 || exit 1
