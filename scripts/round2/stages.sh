@@ -33,10 +33,13 @@ fi
 E2E_SPP=${E2E_SPP:-64}
 E2E_BATCH=${E2E_BATCH:-4}
 if ! stage_done e2e_train; then
-  python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
+  # timeout: a tunnel freeze must fail the stage (loop retries + --resume)
+  # rather than hang it forever; saves every 50 steps bound the redo to
+  # ~50 takeover steps after a crash.
+  timeout 21600 python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
     --datacfg.data /tmp/sceneA --experiment-name prod --output-dir /tmp/r2_out \
     --pipeline.spp "$E2E_SPP" --pipeline.batch-size "$E2E_BATCH" \
-    --steps-per-save 250 --steps-per-eval-image 10000 \
+    --steps-per-save 50 --steps-per-eval-image 10000 \
     --resume \
     > /tmp/r2_out/e2e_train.log 2>&1 || exit 1
   mark e2e_train
