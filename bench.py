@@ -89,13 +89,23 @@ def bench_implementation(implementation: str) -> float:
 
 
 def main():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from nerf_emitter_tpu.utils import capture_lock
+
     results = {}
-    for impl in ("freq", "hash"):
-        try:
-            results[impl] = bench_implementation(impl)
-        except Exception as e:  # keep the bench robust to per-impl failures
-            results[impl] = 0.0
-            print(f"# {impl} failed: {type(e).__name__}: {e}", flush=True)
+    # pause the background stage queue between its dispatches so the
+    # measurement sees an idle chip (round-2: queue contention depressed
+    # the driver-captured number by ~8%)
+    with capture_lock.capture_window("bench"):
+        for impl in ("freq", "hash"):
+            try:
+                results[impl] = bench_implementation(impl)
+            except Exception as e:  # keep the bench robust to per-impl failures
+                results[impl] = 0.0
+                print(f"# {impl} failed: {type(e).__name__}: {e}", flush=True)
 
     best_impl = max(results, key=results.get)
     rays_per_sec = results[best_impl]

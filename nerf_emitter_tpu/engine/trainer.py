@@ -34,6 +34,10 @@ class Trainer:
     def __init__(self, config: ExperimentConfig):
         self.config = config
         self.run_dir = config.run_dir
+        # multi-host: metrics/images are written once (reference
+        # comms.is_main_process gating); checkpoints are NOT gated — orbax
+        # saves distributed arrays collectively from all processes
+        self.is_main = jax.process_index() == 0
         self.writer = writer_mod.EventWriter(self.run_dir / "logs")
         self.ckpt = CheckpointManager(self.run_dir / "checkpoints")
 
@@ -207,12 +211,17 @@ class Trainer:
         t_start = time.time()
         n_rays = cfg.train.num_rays_per_batch
 
+        from ..utils import capture_lock
+
         for step in range(start_step, cfg.max_num_iterations):
+            # yield the chip/host to a driver capture window (bench /
+            # multichip dryrun) between steps
+            capture_lock.checkpoint()
             key, k = jax.random.split(key)
             with profiler.time_block("train_iteration"):
                 metrics = self.pipeline.train_iteration(step, k)
 
-            if step % 10 == 0:
+            if step % 10 == 0 and self.is_main:
                 m = {k_: float(np.asarray(v)) for k_, v in metrics.items()}
                 dt = (time.time() - t_start) / (step + 1)
                 m[writer_mod.TRAIN_RAYS_PER_SEC] = n_rays / max(dt, 1e-9)
@@ -235,11 +244,15 @@ class Trainer:
         ds = self.eval_dataset or self.dataset
         idx = step // self.config.steps_per_eval_image % ds.images.shape[0]
         # unified serving entry: NeRF render before takeover, SDF render
-        # with the live emitter after (reference render_camera_outputs)
+        # with the live emitter after (reference render_camera_outputs).
+        # NOTE: under a multi-host mesh this is a collective program —
+        # every process must render; only the writes are main-gated.
         out = self.pipeline.render_camera_outputs(
             ds, int(idx), jax.random.PRNGKey(step), spp=16
         )
         m = eval_image_metrics(out["rgb"], ds.images[idx], is_hdr=ds.is_hdr)
+        if not self.is_main:
+            return
         self.writer.put_dict({f"eval/{k}": v for k, v in m.items()}, step)
         self.writer.put_image("eval/rgb", np.asarray(out["rgb"]), step)
         if self.pipeline.sdf_state is not None:

@@ -14,11 +14,15 @@ tiny-cuda-nn's CUDA hash grid. TPU-first design notes:
 - Feature dim F=2 with L=16 levels -> a (N, 32) output that feeds straight
   into the bf16 MXU MLPs.
 
-A Pallas kernel (ops/hash_encode_pallas.py) can replace the XLA gather when
-profiling shows the gather as the bottleneck; this module is the reference
-implementation and the fallback (the reference's dual
-tcnn/torch `implementation` flag, encodings.py:272-312, realized as
-jax-vs-pallas instead).
+Backend story (the reference's dual tcnn/torch `implementation` flag,
+encodings.py:272-312, realized as freq-vs-hash instead): the hash path is
+served by THIS module's XLA gather. A Pallas hash kernel was evaluated
+and rejected: TPUs have no vector-gather hardware path — Mosaic lowers
+per-element dynamic VMEM indexing to scalar loads, which cannot beat the
+XLA gather this module already emits (profiled gather-bound, ~1e8
+elems/s). The TPU-native flagship is therefore `implementation='freq'`
+(frequency encoding + wide MXU MLPs, served by ops/fused_field.py /
+ops/mega_query.py); 'hash' remains the parameter-efficient fallback.
 """
 
 from __future__ import annotations

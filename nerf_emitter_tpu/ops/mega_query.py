@@ -319,7 +319,7 @@ def _mega_pipeline_kernel(
     o_ref, d_ref, near_ref, far_ref, emb_ref, *refs,
     n_w0, n_w1, n_base, n_head, n_emb, s0, s1, s2,
     freqs0, freqs1, freqs_f, aabb_lo, aabb_inv_ext, disable_box,
-    avg_density, hdr, rgb_bias,
+    avg_density, hdr, rgb_bias, mxu_chunk=1,
 ):
     """Software-pipelined fusion of kernels A and B: one grid step runs the
     FIELD+COMPOSITE of tile i-1 (MXU-heavy: the 5-layer base MLP is the
@@ -401,9 +401,15 @@ def _mega_pipeline_kernel(
         schedules the full (256, S*r) dot_general as one contiguous MXU
         region). Bit-identical: column slicing commutes with the matmul."""
         width = s2 * r
-        # keep slice boundaries on 128-lane multiples
-        bounds = [((width * c // n_chunks) // 128) * 128 for c in range(n_chunks)]
+        # keep slice boundaries on 128-lane multiples; dedupe (floor-to-128
+        # repeats a boundary when n_chunks > width/128, which would emit a
+        # zero-width dot_general Mosaic rejects)
+        bounds = sorted(
+            {((width * c // n_chunks) // 128) * 128 for c in range(n_chunks)}
+        )
         bounds.append(width)
+        n_real = len(bounds) - 1
+        assert all(lo < hi for lo, hi in zip(bounds, bounds[1:])), bounds
         parts = {}
 
         def make(ci, lo, hi):
@@ -412,14 +418,14 @@ def _mega_pipeline_kernel(
                     parts["in"] = B["h"]
                 out = _layer(w_ref, b_ref, parts["in"][:, lo:hi])
                 parts[ci] = jnp.maximum(out.astype(jnp.bfloat16), 0)
-                if ci == n_chunks - 1:
+                if ci == n_real - 1:
                     B["h"] = jnp.concatenate(
-                        [parts[c] for c in range(n_chunks)], axis=1
+                        [parts[c] for c in range(n_real)], axis=1
                     )
                     parts.clear()
             return f
 
-        return [make(ci, bounds[ci], bounds[ci + 1]) for ci in range(n_chunks)]
+        return [make(ci, bounds[ci], bounds[ci + 1]) for ci in range(n_real)]
 
     def b_base_out():  # 256 -> 1+geo, stays f32 (matches _mlp_rowsT tail)
         B["base"] = _layer(bw[-1], bb[-1], B["h"])
@@ -458,7 +464,6 @@ def _mega_pipeline_kernel(
         comp = jnp.sum(w_.reshape(1, s2, r) * rgb, axis=1)
         out_ref[:, :] = comp + bg * (1.0 - acc).reshape(1, r)
 
-    mxu_chunk = int(os.environ.get("NERF_EMITTER_MEGA_MXU_CHUNK", "1"))
     b_stages = [b_load, b_enc]
     for wr, br in zip(bw[:-1], bb[:-1]):
         if mxu_chunk > 1:
@@ -554,7 +559,8 @@ def _mega_pipeline_kernel(
 # ---------------------------------------------------------------------------
 
 
-def make_mega_radiance_query(model, *, disable_box=None, pipelined=None):
+def make_mega_radiance_query(model, *, disable_box=None, pipelined=None,
+                             mxu_chunk=None):
     """Drop-in replacement for fused_field.make_fused_radiance_query using
     the megakernels. Same contract:
     query(params, rays, camera_index=None) -> rgb (n, 3).
@@ -563,12 +569,30 @@ def make_mega_radiance_query(model, *, disable_box=None, pipelined=None):
     (`_mega_pipeline_kernel`); default ON (chip A/B, v5e: 25.53 ms
     pipelined vs 26.69 ms two-kernel per 2^16-ray query — 2.57M vs 2.46M
     rays/s). Set NERF_EMITTER_MEGA_PIPELINED=0 to fall back to the
-    two-kernel path. Math per tile is identical either way."""
+    two-kernel path. Math per tile is identical either way.
+
+    mxu_chunk > 1 splits each hidden-layer matmul of the pipelined kernel
+    into that many column slices (measured slower on v5e; kept for
+    experiments). Both knobs — and their env-var defaults
+    (NERF_EMITTER_MEGA_PIPELINED / NERF_EMITTER_MEGA_MXU_CHUNK) — are
+    BUILD-TIME only: they are baked into the traced kernel here, and
+    changing the env after a query is built has no effect on it."""
     assert model.implementation == "freq", "mega path is freq-only"
     from .fused_field import make_fused_radiance_query
 
     if pipelined is None:
         pipelined = os.environ.get("NERF_EMITTER_MEGA_PIPELINED", "1") == "1"
+    if mxu_chunk is None:
+        raw = os.environ.get("NERF_EMITTER_MEGA_MXU_CHUNK", "1")
+        try:
+            mxu_chunk = int(raw)
+        except ValueError as e:
+            raise ValueError(
+                f"NERF_EMITTER_MEGA_MXU_CHUNK={raw!r} must be an integer "
+                "(number of column slices per hidden-layer matmul)"
+            ) from e
+    if mxu_chunk < 1:
+        raise ValueError(f"mxu_chunk must be >= 1, got {mxu_chunk}")
 
     aabb = jnp.asarray(model.aabb, jnp.float32)
     aabb_lo = tuple(float(x) for x in aabb[0])
@@ -643,6 +667,7 @@ def make_mega_radiance_query(model, *, disable_box=None, pipelined=None):
                 freqs_f=field_freqs, aabb_lo=aabb_lo,
                 aabb_inv_ext=aabb_inv_ext, disable_box=dbox,
                 avg_density=1.0, hdr=model.hdr, rgb_bias=model.rgb_bias,
+                mxu_chunk=mxu_chunk,
             )
             ray_tile = lambda rows: pl.BlockSpec(
                 (rows, TILE_RAYS),

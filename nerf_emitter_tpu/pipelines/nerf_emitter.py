@@ -137,7 +137,14 @@ def make_nerf_emitter_fn(
     if samples_override is not None:
         p0, p1, ns = samples_override
         for s in (p0, p1, ns):
-            assert s % 8 == 0, "emitter sample counts must be multiples of 8"
+            if s % 8 != 0:
+                # intentional headroom, not a kernel requirement (mega tests
+                # run s2=6): 8-aligned counts keep every (samples, rays) row
+                # block sublane-aligned on all schedules we ship
+                raise ValueError(
+                    f"emitter sample counts must be multiples of 8, got "
+                    f"{samples_override}"
+                )
         model = model.clone(
             num_proposal_samples=(int(p0), int(p1)),
             num_nerf_samples=int(ns),
@@ -753,8 +760,11 @@ class NerfEmitterPipeline:
         get_average_eval_image_metrics override, mitsuba_sdf.py:1235-1318)."""
         from ..engine.train_loop import eval_image_metrics
 
+        from ..utils import capture_lock
+
         all_m: dict[str, list] = {}
         for i in range(dataset.images.shape[0]):
+            capture_lock.checkpoint()  # yield to a driver capture window
             key, k = jax.random.split(key)
             out = self.render_camera_outputs(dataset, i, k, spp=spp)
             m = eval_image_metrics(out["rgb"], dataset.images[i], is_hdr=dataset.is_hdr)

@@ -338,12 +338,22 @@ def make_sdf_train_step(
     # ------------------------------------------------------------------
     spp_att = takeover.spp_attached
     aggregate = spp_att > 0 and takeover.spp > spp_att
+
+    def _tag(result, is_aggregate: bool):
+        # estimator provenance: aggregate-mode 'loss' is the one-attached-
+        # chunk estimator, not the exact-mode scalar — label which one
+        # produced the logged value so cross-run curves are comparable
+        state, metrics = result
+        metrics = dict(metrics)
+        metrics["estimator_aggregate"] = 1.0 if is_aggregate else 0.0
+        return state, metrics
+
     if not aggregate:
         if not use_occlusion:
-            return lambda state, cameras, cam_indices, gt, masks, key: step(
-                state, cameras, cam_indices, gt, masks, key
+            return lambda state, cameras, cam_indices, gt, masks, key: _tag(
+                step(state, cameras, cam_indices, gt, masks, key), False
             )
-        return step
+        return lambda *a, **kw: _tag(step(*a, **kw), False)
 
     n_det = takeover.spp - spp_att
     from ..renderer.spp_schedule import divide_spp
@@ -434,6 +444,8 @@ def make_sdf_train_step(
     def apply_step(state, grads, metrics):
         return _apply(state, grads, metrics)
 
+    from ..utils import capture_lock
+
     def step_aggregate(state, cameras, cam_indices, gt_images, gt_masks,
                        key, occ_layers=None):
         b = gt_images.shape[0]
@@ -441,8 +453,12 @@ def make_sdf_train_step(
         grads_acc = None
         metrics_acc = None
         for i in range(b):
+            # aggregate mode is a host-side sequence of bounded dispatches:
+            # the natural point to yield to a driver capture window
+            capture_lock.checkpoint()
             det_sum = jnp.zeros((h * w, 3), jnp.float32)
             for ci, chunk in enumerate(det_chunks):
+                capture_lock.checkpoint()
                 det_sum = det_sum + primal_chunk(
                     state.scene, cameras, cam_indices[i], keys[i],
                     int(chunk), jnp.int32(ci),
@@ -466,7 +482,7 @@ def make_sdf_train_step(
         inv_b = 1.0 / b
         grads = jax.tree.map(lambda x: x * inv_b, grads_acc)
         metrics = jax.tree.map(lambda x: x * inv_b, metrics_acc)
-        return apply_step(state, grads, metrics)
+        return _tag(apply_step(state, grads, metrics), True)
 
     if not use_occlusion:
         return lambda state, cameras, cam_indices, gt, masks, key: (

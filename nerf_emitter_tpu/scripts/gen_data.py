@@ -138,6 +138,12 @@ def main(argv=None):
         alb = alb * (0.75 + 0.25 * checker)[..., None]
         scene = scene.replace(albedo=jnp.asarray(alb, jnp.float32))
 
+    # GT geometry/material alongside the dataset: chamfer evaluation
+    # (scripts/chamfer.py) extracts the GT mesh from gt_sdf.npy via the
+    # exporter (the reference evaluates against the source mesh)
+    np.save(out / "gt_sdf.npy", np.asarray(scene.sdf))
+    np.save(out / "gt_albedo.npy", np.asarray(scene.albedo))
+
     scene_scale = 1.0  # world [-1,1]; cameras scaled by dataparser later
     focal = 0.5 * args.width / np.tan(0.35)
     h, w = args.height, args.width
@@ -216,6 +222,9 @@ def main(argv=None):
                 "rotation": int(rot_angles[frame_rots[i]]),
             })
             continue
+        from ..utils import capture_lock
+
+        capture_lock.checkpoint()  # yield to a driver capture window
         sc = scene.replace(envmap=rot_envs[frame_rots[i]])
         acc = None
         for _ in range(n_calls):

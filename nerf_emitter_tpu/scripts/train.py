@@ -48,8 +48,20 @@ def _flatten_defaults(cfg, prefix: str = "") -> dict:
 
 
 def main(argv=None):
+    from ..parallel.mesh import maybe_initialize_distributed
     from ..utils.jit_cache import enable_persistent_compilation_cache
 
+    # Multi-host (DCN) launch: run this same command on every host with
+    # NERF_EMITTER_COORDINATOR/NUM_PROCESSES/PROCESS_ID set (the
+    # reference's per-machine NCCL rendezvous, train.py:140-153). After
+    # this, jax.devices() is global and the trainer's mesh spans hosts.
+    if maybe_initialize_distributed():
+        import jax
+
+        print(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}"
+            f", {jax.device_count()} global devices"
+        )
     enable_persistent_compilation_cache()
     parser = build_parser()
     parser_args = argv if argv is not None else sys.argv[1:]
@@ -57,6 +69,13 @@ def main(argv=None):
     # --load-dir / --override-start-step)
     resume = "--resume" in parser_args
     parser_args = [a for a in parser_args if a != "--resume"]
+    # --load-nerf-only: restore only the NeRF train state from the
+    # checkpoint, discarding any SDF takeover state — the reference's
+    # load_mi_var=False (its trainer.py:91-92,418-422: keep Mitsuba voxels
+    # at init while reusing the trained NeRF), used to branch takeover
+    # A/B arms off one pretrained radiance field.
+    load_nerf_only = "--load-nerf-only" in parser_args
+    parser_args = [a for a in parser_args if a != "--load-nerf-only"]
     override_start = None
     if "--override-start-step" in parser_args:
         i = parser_args.index("--override-start-step")
@@ -77,6 +96,9 @@ def main(argv=None):
             latest = trainer.ckpt.latest_step()
             trainer.load_checkpoint(latest)
             start_step = override_start if override_start is not None else (latest or 0)
+            if load_nerf_only and trainer.pipeline.sdf_state is not None:
+                trainer.pipeline.sdf_state = None
+                print("load-nerf-only: discarded checkpointed SDF state")
             print(f"resumed from step {latest}, starting at {start_step}")
         except FileNotFoundError:
             print("no checkpoint to resume from; starting fresh")

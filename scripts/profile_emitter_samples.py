@@ -5,13 +5,20 @@ schedule (pipeline.emitter_samples) trades invisible per-ray variance for
 throughput. This measures the megafused query at the reference schedule
 (256/96 proposals + 48 nerf samples — the bench configuration, reference
 base_model.py:292-313) against halved and quartered schedules, and the
-radiance RMS deviation each one introduces on a trained-smooth field.
+radiance RMS deviation each one introduces.
 
-    python scripts/profile_emitter_samples.py
+Pass --load-config <run>/config.json to measure the deviation on a
+TRAINED field (the representative number); without it the script falls
+back to a randomly initialized field and says so — random-field deviation
+is a smoke signal only, real fields are smoother.
+
+    python scripts/profile_emitter_samples.py \
+        [--load-config /tmp/r2_out/prod/sdf-nerfacto/config.json]
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -45,15 +52,40 @@ def timed(fn, *args):
 
 
 def main():
-    base = NerfactoModel(
-        aabb=((-1.5, -1.5, -1.5), (1.5, 1.5, 1.5)),
-        num_nerf_samples=48,
-        num_proposal_samples=(256, 96),
-        log2_hashmap_size=19,
-        max_res=2048,
-        num_cameras=128,
-        implementation="freq",
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--load-config", default=None,
+        help="run config.json: measure on that run's TRAINED field",
     )
+    args = ap.parse_args()
+
+    if args.load_config:
+        from nerf_emitter_tpu.configs.cli import load_config
+        from nerf_emitter_tpu.engine.trainer import Trainer
+
+        trainer = Trainer(load_config(args.load_config))
+        trainer.setup()
+        trainer.load_checkpoint()
+        base = trainer.model.clone(
+            num_proposal_samples=(256, 96), num_nerf_samples=48
+        )
+        params = trainer.pipeline.nerf_state.params
+        print(f"field: trained checkpoint from {args.load_config}")
+    else:
+        base = NerfactoModel(
+            aabb=((-1.5, -1.5, -1.5), (1.5, 1.5, 1.5)),
+            num_nerf_samples=48,
+            num_proposal_samples=(256, 96),
+            log2_hashmap_size=19,
+            max_res=2048,
+            num_cameras=128,
+            implementation="freq",
+        )
+        params = None
+        print(
+            "field: RANDOM INIT (no --load-config) — rel-RMS deviations "
+            "below are a smoke signal only; trained fields are smoother"
+        )
     key = jax.random.PRNGKey(0)
     d = jax.random.normal(key, (NUM_RAYS, 3))
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
@@ -65,7 +97,8 @@ def main():
         fars=jnp.full((NUM_RAYS, 1), 10.0),
         camera_indices=jnp.zeros((NUM_RAYS, 1), jnp.int32),
     )
-    params = jax.jit(base.init)(jax.random.PRNGKey(1), rays)
+    if params is None:
+        params = jax.jit(base.init)(jax.random.PRNGKey(1), rays)
 
     ref_rgb = None
     for name, props, ns in SCHEDULES:

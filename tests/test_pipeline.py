@@ -252,7 +252,8 @@ def test_emitter_samples_override(tiny_setup):
     params = jax.jit(model.init)(jax.random.PRNGKey(0), rays)
     aabb = jnp.asarray([[-0.3, -0.3, -0.3], [0.3, 0.3, 0.3]])
     full = make_nerf_emitter_fn(model, 1.0, aabb)(params)
-    # halved schedule, multiples of 8 (kernel tile constraint)
+    # reduced schedule: 8 samples per level (the smallest multiple-of-8
+    # counts the override accepts)
     cheap = make_nerf_emitter_fn(
         model, 1.0, aabb, samples_override=(8, 8, 8)
     )(params)

@@ -350,6 +350,42 @@ def test_perceptual_metric():
     assert float(lpips(img, noisy)[0]) == d_noise  # deterministic
 
 
+def test_perceptual_metric_vgg_weights_path(tmp_path, monkeypatch):
+    """The calibrated VGG16-LPIPS path: with a weights .npz present (here
+    random values in the exact ported layout of
+    scripts/port_lpips_weights.py), the metric reports `lpips`, is zero
+    for identical images and positive otherwise."""
+    from nerf_emitter_tpu.utils import perceptual
+
+    rng = np.random.default_rng(0)
+    data = {}
+    c_in = 3
+    for i, c_out in enumerate(perceptual._VGG_CHANNELS):
+        data[f"vgg_conv{i}"] = rng.normal(
+            0, 0.05, (3, 3, c_in, c_out)
+        ).astype(np.float32)
+        data[f"vgg_bias{i}"] = rng.normal(0, 0.01, (c_out,)).astype(np.float32)
+        c_in = c_out
+    for i, tap in enumerate(perceptual._VGG_TAPS):
+        data[f"lin{i}"] = np.abs(
+            rng.normal(0, 1, (perceptual._VGG_CHANNELS[tap],))
+        ).astype(np.float32)
+    path = tmp_path / "lpips_vgg.npz"
+    np.savez(path, **data)
+    monkeypatch.setenv("NERF_EMITTER_LPIPS_WEIGHTS", str(path))
+    perceptual._loaded_vgg.cache_clear()
+    perceptual._loaded_kernels.cache_clear()
+    try:
+        img = jax.random.uniform(jax.random.PRNGKey(0), (64, 64, 3))
+        d0, name = perceptual.lpips(img, img)
+        assert name == "lpips"
+        assert float(d0) < 1e-10
+        assert float(perceptual.lpips(img, img[::-1])[0]) > 0
+    finally:
+        perceptual._loaded_vgg.cache_clear()
+        perceptual._loaded_kernels.cache_clear()
+
+
 def test_mjpeg_avi_writer(tmp_path):
     """The AVI has a valid RIFF structure and PIL can decode the first
     embedded JPEG back to the frame."""
