@@ -32,6 +32,24 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def metadata_tree(self, step: Optional[int] = None) -> Optional[Any]:
+        """Stored-array metadata (shapes/dtypes) of a checkpoint WITHOUT a
+        template — lets the restore caller build a template whose shapes
+        match what is on disk (the SDF upsample schedule changes the grid
+        resolution mid-run, so a fresh-init template has the wrong shape).
+        Returns the metadata pytree (dict mirroring the saved state, leaves
+        with `.shape`) or None when unavailable."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return None
+        try:
+            ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+            meta = ckptr.metadata(self.directory / str(step) / "default")
+            item = getattr(meta, "item_metadata", meta)
+            return getattr(item, "tree", item)
+        except Exception:
+            return None
+
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
         step = step if step is not None else self._mgr.latest_step()
         if step is None:

@@ -267,18 +267,37 @@ class Trainer:
         self.ckpt.save(step, state)
 
     def load_checkpoint(self, step: Optional[int] = None):
-        if (
-            self.pipeline.sdf_state is None
+        step = step if step is not None else self.ckpt.latest_step()
+        # Inspect the on-disk shapes first: a takeover checkpoint stores the
+        # SDF at whatever resolution the upsample schedule had reached, so
+        # the restore template must be built at the STORED resolution — a
+        # fresh begin_takeover() template (init_res) cannot restore a
+        # post-upsample checkpoint. The template is also pure structure:
+        # no TSDF fusion / guiding build / occlusion renders are run here
+        # (everything is overwritten by the restore; the expensive work is
+        # re-bound from the restored params in resume_takeover_bind).
+        meta = self.ckpt.metadata_tree(step)
+        has_sdf_meta = meta is not None and "sdf" in meta
+        if has_sdf_meta and self.pipeline.sdf_state is None:
+            sdf_res = int(meta["sdf"]["scene"]["sdf"].shape[0])
+            self.pipeline.begin_takeover_template(sdf_res=sdf_res)
+        elif meta is not None and not has_sdf_meta:
+            self.pipeline.sdf_state = None
+        elif (
+            meta is None
+            and self.pipeline.sdf_state is None
             and int(self.config.pipeline.takeover_step) < self.config.max_num_iterations
         ):
-            # checkpoint may contain takeover state: build the template
-            self.pipeline.begin_takeover(jax.random.PRNGKey(0))
+            # metadata unavailable: fall back to a blind takeover template
+            self.pipeline.begin_takeover_template()
         template = {"nerf": self.pipeline.nerf_state}
         if self.pipeline.sdf_state is not None:
             template["sdf"] = self.pipeline.sdf_state
         try:
             restored = self.ckpt.restore(template, step)
         except Exception:
+            if "sdf" not in template:
+                raise
             # older / pretrain-only checkpoint
             self.pipeline.sdf_state = None
             template = {"nerf": self.pipeline.nerf_state}
@@ -298,3 +317,8 @@ class Trainer:
                 self.pipeline.sdf_state = jax.device_put(
                     self.pipeline.sdf_state, replicated(self.mesh)
                 )
+        if self.pipeline.sdf_state is not None:
+            # bind emitter closures / occlusion layers to the RESTORED NeRF
+            # params and replay the render-res upsample schedule up to the
+            # restored SDF resolution
+            self.pipeline.resume_takeover_bind(jax.random.PRNGKey(0))

@@ -473,25 +473,7 @@ class NerfEmitterPipeline:
         # occlusion/background layers rendered ONCE at takeover (reference
         # render_internal_mask/render_occlusion, mitsuba_sdf.py:607-681)
         if self.config.use_occlusion:
-            from ..data.occlusion import render_occlusion_layers
-
-            cams = self.mi_dataset.cameras
-            d = max(1, int(cams.height) // self.config.takeover_image_size)
-            from ..cameras.cameras import Cameras
-
-            small = Cameras(
-                camera_to_worlds=cams.camera_to_worlds,
-                fx=cams.fx / d, fy=cams.fy / d, cx=cams.cx / d, cy=cams.cy / d,
-                width=cams.width // d, height=cams.height // d,
-            )
-            self.occlusion = render_occlusion_layers(
-                lambda p, c, i, aabb_box=None: self.render_fn(
-                    p, c, i, c.height, c.width, aabb_box=aabb_box
-                ),
-                self.nerf_state.params,
-                small,
-                self.object_aabb,
-            )
+            self._render_occlusion_layers()
         self.sdf_tx = build_sdf_optimizer(self.opt_config)
         from .sdf_optimizer import init_mean_params
 
@@ -513,6 +495,113 @@ class NerfEmitterPipeline:
         self._takeover_emitter_for_camera = emitter_for_camera
         self._takeover_size = self.config.takeover_image_size
         self._takeover_spp = self.config.spp
+        self._rebuild_sdf_step_fn()
+
+    def _render_occlusion_layers(self):
+        """Render the foreground-occluder / background layers from the
+        current NeRF (reference render_internal_mask/render_occlusion,
+        mitsuba_sdf.py:607-681) at the takeover render resolution."""
+        from ..cameras.cameras import Cameras
+        from ..data.occlusion import render_occlusion_layers
+
+        cams = self.mi_dataset.cameras
+        d = max(1, int(cams.height) // self.config.takeover_image_size)
+        small = Cameras(
+            camera_to_worlds=cams.camera_to_worlds,
+            fx=cams.fx / d, fy=cams.fy / d, cx=cams.cx / d, cy=cams.cy / d,
+            width=cams.width // d, height=cams.height // d,
+        )
+        self.occlusion = render_occlusion_layers(
+            lambda p, c, i, aabb_box=None: self.render_fn(
+                p, c, i, c.height, c.width, aabb_box=aabb_box
+            ),
+            self.nerf_state.params,
+            small,
+            self.object_aabb,
+        )
+
+    def begin_takeover_template(self, sdf_res: Optional[int] = None):
+        """Build `sdf_state` as a pure RESTORE TEMPLATE: the correct pytree
+        structure and shapes (sphere SDF at `sdf_res`, zeroed guiding) with
+        none of begin_takeover's real work — no TSDF fusion, no emitter
+        proposal, no occlusion renders. Everything here is overwritten by
+        the checkpoint restore; call resume_takeover_bind() afterwards to
+        bind the emitter/occlusion/step-fn to the restored params.
+
+        `sdf_res` is the STORED grid resolution (the upsample schedule
+        grows it mid-run), read from checkpoint metadata by the trainer."""
+        use_env = self.config.guiding_type in ("env", "emitter_xml")
+        scene = SdfScene.create(
+            sdf_res=sdf_res or self.opt_config.init_res,
+            tex_res=self.opt_config.tex_res,
+            bsdf_type=self.opt_config.bsdf_type,
+        )
+        scene = scene.replace(hide_emitters=self.config.hide_emitters)
+        if use_env:
+            from ..guiding.path_guiding import EnvGuiding
+
+            env = EnvGuiding(env_path=self.config.env_path).build_envmap(
+                getattr(self, "data_dir", ".")
+            )
+            scene = scene.replace(envmap=env, guiding=None)
+        else:
+            from ..renderer.emitters import VMFMixture
+
+            k = int(getattr(self.guiding, "n_clusters", 64))
+            scene = scene.replace(
+                guiding=VMFMixture(
+                    positions=jnp.zeros((k, 3)),
+                    weights=jnp.full((k,), 1.0 / k),
+                    stds=jnp.full((k,), 0.5),
+                )
+            )
+        self.sdf_tx = build_sdf_optimizer(self.opt_config)
+        from .sdf_optimizer import init_mean_params
+
+        track_mean = self.config.load_mean_step != -1
+        self.sdf_state = SdfOptState(
+            step=jnp.int32(0), scene=scene, opt_state=self.sdf_tx.init(scene),
+            mean_params=init_mean_params(scene) if track_mean else None,
+        )
+
+    def resume_takeover_bind(self, key: jax.Array):
+        """Re-bind everything begin_takeover derives from the NeRF params —
+        emitter closures, occlusion layers — to the RESTORED params, replay
+        the render-res upsample schedule up to the restored SDF resolution,
+        and rebuild the jitted takeover step. Called by the trainer after a
+        checkpoint restore lands in sdf_state/nerf_state."""
+        assert self.sdf_state is not None
+        use_env = self.config.guiding_type in ("env", "emitter_xml")
+        emitter_fn = None
+        emitter_for_camera = None
+        if not use_env:
+            emitter_fn = self._emitter_fn_of(self.nerf_state.params)
+            emitter_for_camera = lambda cam_idx, rot_id: self._emitter_fn_of(
+                self.nerf_state.params, camera_index=cam_idx, rot_id=rot_id
+            )
+        if self.config.use_occlusion:
+            self._render_occlusion_layers()
+        self._serving_emitter_fn = emitter_fn
+        self._serving_use_nerf = emitter_fn is not None
+        self._serve_cache_key = None
+        self._takeover_emitter_fn = emitter_fn
+        self._takeover_emitter_for_camera = emitter_for_camera
+        # replay the render-res schedule: each applied volume upsample
+        # (res -> 2*res-1, counted from the restored grid shape) doubled the
+        # sensor res and halved spp past 512 (_maybe_upsample_render_res)
+        size = self.config.takeover_image_size
+        spp = self.config.spp
+        res = int(self.sdf_state.scene.sdf.shape[0])
+        r = int(self.opt_config.init_res)
+        cap = int(min(self.mi_dataset.cameras.height,
+                      self.mi_dataset.cameras.width))
+        while r < res:
+            r = r * 2 - 1
+            size = min(size * 2, cap)
+            if size >= 512 and spp > 1:
+                spp = max(1, spp // 2)
+        self._takeover_size = size
+        self._takeover_spp = spp
         self._rebuild_sdf_step_fn()
 
     def _rebuild_sdf_step_fn(self):

@@ -48,12 +48,13 @@ if ! stage_done e2e_train; then
   # timeout: a tunnel freeze must fail the stage (loop retries + --resume)
   # rather than hang it forever; saves every 50 steps bound the redo to
   # ~50 takeover steps after a crash.
+  echo "=== e2e_train attempt $(date +%H:%M:%S) ===" >> /tmp/r2_out/e2e_train.log
   timeout 21600 python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
     --datacfg.data /tmp/sceneA --experiment-name prod --output-dir /tmp/r2_out \
     --pipeline.spp "$E2E_SPP" --pipeline.batch-size "$E2E_BATCH" \
     --steps-per-save 50 --steps-per-eval-image 10000 \
     --resume \
-    > /tmp/r2_out/e2e_train.log 2>&1 || exit 1
+    >> /tmp/r2_out/e2e_train.log 2>&1 || exit 1
   mark e2e_train
 fi
 

@@ -82,6 +82,79 @@ def test_hdr_to_sdf_checkpoint_chain(turntable_scene, tmp_path):
     assert np.isfinite(vals).all()
 
 
+def test_resume_past_upsample(tmp_path):
+    """Crash-resume AFTER a volume upsample step: the checkpoint stores the
+    SDF at the upsampled resolution, so the restore template must be built
+    from checkpoint METADATA, not fresh-init shapes (regression: the round-2
+    production run crash-looped on every resume past mi-step 64 with
+    'Requested shape (64,64,64,1) is not compatible with (127,127,127,1)')."""
+    import json
+
+    from nerf_emitter_tpu.engine.checkpoints import CheckpointManager
+    from nerf_emitter_tpu.renderer.optimize import (
+        OPT_CONFIGS,
+        SdfOptConfig,
+        _default_variables,
+    )
+    from nerf_emitter_tpu.renderer.scene import DIFFUSE
+    from nerf_emitter_tpu.scripts.gen_data import main as gen_main
+    from nerf_emitter_tpu.scripts.train import main as train_main
+
+    OPT_CONFIGS.setdefault(
+        "test-tiny-upsample",
+        SdfOptConfig(
+            name="test-tiny-upsample",
+            bsdf_type=DIFFUSE,
+            loss="relative_l1",
+            variables=_default_variables(3e-3, (2,)),
+            init_res=8,
+            tex_res=8,
+            render_upsample_iter=(2,),
+        ),
+    )
+    scene = tmp_path / "scene"
+    gen_main(["--object", "sphere", "--n-views", "4", "--width", "10",
+              "--height", "10", "--spp", "2", "--out", str(scene)])
+    out = tmp_path / "runs"
+    args = [
+        "sdf-nerfacto",
+        "--datacfg.data", str(scene),
+        "--experiment-name", "up", "--output-dir", str(out),
+        "--train.num-rays-per-batch", "64",
+        "--pipeline.takeover-step", "2",
+        "--opt-config-name", "test-tiny-upsample",
+        "--pipeline.spp", "2", "--pipeline.takeover-image-size", "8",
+        "--pipeline.batch-size", "1", "--pipeline.sdf-init", "sphere",
+        "--steps-per-save", "1000", "--steps-per-eval-image", "1000",
+        "--model.num-nerf-samples", "8",
+        "--model.num-proposal-samples", "[16,8]",
+        "--model.log2-hashmap-size", "12", "--model.max-res", "128",
+    ]
+    train_main(args + ["--max-num-iterations", "6", "--train.max-steps", "6"])
+    ckpt_dir = out / "up" / "sdf-nerfacto" / "checkpoints"
+    meta = CheckpointManager(ckpt_dir).metadata_tree()
+    # premise: the saved checkpoint really is PAST the upsample (8 -> 15)
+    assert tuple(meta["sdf"]["scene"]["sdf"].shape) == (15, 15, 15, 1)
+
+    # resume from it (fresh process state is emulated by a fresh Trainer
+    # inside train_main) and run on past step 10 (metrics flush every 10
+    # steps, so the post-resume takeover rows need a multiple of 10)
+    train_main(args + [
+        "--resume", "--max-num-iterations", "12", "--train.max-steps", "12",
+    ])
+    meta2 = CheckpointManager(ckpt_dir).metadata_tree()
+    assert tuple(meta2["sdf"]["scene"]["sdf"].shape) == (15, 15, 15, 1)
+    events = (out / "up" / "sdf-nerfacto" / "logs" / "events.jsonl").read_text()
+    post = [
+        json.loads(ln) for ln in events.splitlines()
+        if json.loads(ln).get("step", 0) >= 10
+    ]
+    assert any("view_loss" in row for row in post), post
+    assert all(
+        np.isfinite(row["view_loss"]) for row in post if "view_loss" in row
+    )
+
+
 def test_gen_data_resume_identical(tmp_path):
     """--resume after deleting half the views re-renders ONLY the missing
     ones, bit-identically (key streams advance over skipped views)."""
