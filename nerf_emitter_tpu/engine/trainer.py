@@ -191,7 +191,8 @@ class Trainer:
             from ..viewer.server import ViewerState, make_orbit_render_fn, start_viewer
 
             self.viewer_state = ViewerState(
-                make_orbit_render_fn(self.pipeline, self.dataset)
+                make_orbit_render_fn(self.pipeline, self.dataset),
+                save_dir=self.run_dir,
             )
             start_viewer(self.viewer_state, cfg.viewer_port)
 
@@ -229,6 +230,8 @@ class Trainer:
                 self.writer.put_dict(m, step)
                 self.writer.maybe_print(step, m)
                 self.writer.flush(step)
+                if self.viewer_state is not None:
+                    self.viewer_state.put_metrics(step, m)
 
             if self.viewer_state is not None:
                 self.viewer_state.step = step

@@ -151,11 +151,50 @@ def cmd_envmap(args):
 
 
 def cmd_camera_path(args):
-    """Orbit of interpolated novel views around the scene center."""
+    """Render a camera path: either a viewer-authored keyframe JSON
+    (--camera-path-file, the reference's viewer camera-path workflow —
+    keyframes slerped/lerped into n_frames poses) or the default orbit of
+    the scene center."""
     trainer = _load(args)
     ds = trainer.dataset
     from ..cameras.cameras import Cameras
     from ..data.synthetic import look_at
+
+    if getattr(args, "camera_path_file", None):
+        import json
+
+        with open(args.camera_path_file) as f:
+            spec = json.load(f)
+        keys = spec["keyframes"]
+        n = int(spec.get("n_frames", args.n_frames))
+        kf_c2w = [np.asarray(k["c2w"], np.float32) for k in keys]
+        kf_fov = [float(k.get("fov_deg", 40.0)) for k in keys]
+        c2ws, fovs = [], []
+        if len(keys) == 1:
+            c2ws, fovs = [kf_c2w[0]] * n, [kf_fov[0]] * n
+        else:
+            for i in range(n):
+                u = i / max(n - 1, 1) * (len(keys) - 1)
+                a = min(int(u), len(keys) - 2)
+                t = u - a
+                rot = _slerp(kf_c2w[a][:, :3], kf_c2w[a + 1][:, :3], t)
+                pos = (1 - t) * kf_c2w[a][:, 3] + t * kf_c2w[a + 1][:, 3]
+                c2ws.append(
+                    np.concatenate([rot, pos[:, None]], axis=1).astype(
+                        np.float32
+                    )
+                )
+                fovs.append((1 - t) * kf_fov[a] + t * kf_fov[a + 1])
+        w, h = ds.cameras.width, ds.cameras.height
+        f = [0.5 * w / np.tan(np.deg2rad(fv) / 2.0) for fv in fovs]
+        cams = Cameras(
+            camera_to_worlds=jnp.asarray(np.stack(c2ws)),
+            fx=jnp.asarray(f, jnp.float32), fy=jnp.asarray(f, jnp.float32),
+            cx=jnp.full((n,), w / 2.0), cy=jnp.full((n,), h / 2.0),
+            width=w, height=h,
+        )
+        _render_path(trainer, ds, cams, args, "path")
+        return
 
     r = float(np.linalg.norm(np.asarray(ds.cameras.camera_to_worlds[0, :3, 3])))
     c2ws = []
@@ -365,6 +404,8 @@ def main(argv=None):
         sub.add_argument("--cy", type=float, default=0.5)
         sub.add_argument("--cz", type=float, default=0.5)
         sub.add_argument("--stroke-path", type=Path, default=Path("stroke.json"))
+        sub.add_argument("--camera-path-file", type=Path, default=None,
+                         help="viewer-exported keyframe JSON to render")
         sub.add_argument("--video", action="store_true",
                          help="also mux frames into an MJPEG AVI")
         sub.add_argument("--fps", type=int, default=24)

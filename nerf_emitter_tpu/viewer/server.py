@@ -1,11 +1,25 @@
-"""Lightweight web viewer: orbit the scene in a browser.
+"""Web viewer: interactive scene inspection beside (or after) training.
 
-Re-design of the reference's viser-based viewer (nerfstudio/viewer/,
-3557 LoC + viewer_beta 1466): a dependency-free HTTP server that renders
-on demand from the live pipeline (or a checkpoint) — GET /render?theta=
-&phi=&radius=&w=&h= returns a tonemapped PNG; / serves a small orbit UI
-(drag to rotate). Runs in a daemon thread beside training so the user can
-watch optimization progress, which is the viewer's job in the reference.
+Re-design of the reference's viser-based viewer (nerfstudio/viewer/, 3557
+LoC + viewer_beta 1466) as a dependency-free HTTP server + single-page
+client. Feature parity with the parts of the reference viewer the paper
+workflow actually uses:
+
+- orbit / pan (shift-drag) / zoom / FOV camera control
+- render modes: rgb | depth | accumulation | normal (the reference's
+  output_render selector)
+- quality controls: spp + resolution, with low-res progressive refresh
+  while dragging
+- live training status + loss sparkline (/metrics, fed by the Trainer)
+- keyframe capture -> camera-path JSON export, rendered offline by
+  `scripts/render.py camera-path --camera-path-file` (the reference's
+  viewer camera-path workflow, render.py:808-818)
+- light-rotation slider: relighting preview by rotating the emitter
+  around the object (reference set_light_axis_angle,
+  mitsuba_sdf.py:1230-1233) once takeover state exists
+
+GET /render?theta=&phi=&radius=&tx=&ty=&tz=&fov=&spp=&mode=&light=&w=&h=
+returns a tonemapped PNG rendered from the live pipeline.
 """
 
 from __future__ import annotations
@@ -13,40 +27,141 @@ from __future__ import annotations
 import io
 import json
 import threading
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Optional
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
 _PAGE = """<!doctype html><html><head><title>nerf_emitter_tpu viewer</title>
-<style>body{margin:0;background:#111;color:#eee;font-family:sans-serif}
-#c{cursor:grab}#hud{position:fixed;top:8px;left:8px}</style></head><body>
-<div id=hud>drag to orbit &middot; wheel to zoom</div>
+<style>
+body{margin:0;background:#111;color:#eee;font-family:sans-serif;display:flex}
+#c{cursor:grab;image-rendering:pixelated}
+#panel{padding:10px;min-width:230px;font-size:13px}
+#panel label{display:block;margin-top:8px}
+#spark{background:#181818;display:block;margin-top:4px}
+button{margin-top:6px}
+select,input[type=range]{width:100%}
+</style></head><body>
 <img id=c width=512 height=512>
+<div id=panel>
+  <div>step <span id=step>-</span> &middot; loss <span id=loss>-</span></div>
+  <canvas id=spark width=210 height=48></canvas>
+  <label>mode <select id=mode>
+    <option>rgb</option><option>depth</option>
+    <option>accumulation</option><option>normal</option></select></label>
+  <label>spp <span id=sppv>4</span>
+    <input id=spp type=range min=1 max=32 value=4></label>
+  <label>resolution <span id=resv>256</span>
+    <input id=res type=range min=64 max=512 step=64 value=256></label>
+  <label>fov&deg; <span id=fovv>40</span>
+    <input id=fov type=range min=15 max=90 value=40></label>
+  <label>light rotation&deg; <span id=lightv>0</span>
+    <input id=light type=range min=0 max=360 value=0></label>
+  <button id=key>add keyframe (<span id=nkey>0</span>)</button>
+  <button id=exp>export camera path</button>
+  <div style="margin-top:10px;color:#888">drag orbit &middot; shift-drag pan
+  &middot; wheel zoom</div>
+</div>
 <script>
-let th=0.5, ph=0.4, r=2.4, busy=false;
-const img=document.getElementById('c');
-function load(){ if(busy) return; busy=true;
-  const u=`/render?theta=${th}&phi=${ph}&radius=${r}&w=256&h=256`;
-  const i=new Image(); i.onload=()=>{img.src=u; busy=false;}; i.src=u; }
-let drag=false,lx=0,ly=0;
-img.onmousedown=e=>{drag=true;lx=e.x;ly=e.y};
-window.onmouseup=()=>drag=false;
-window.onmousemove=e=>{if(!drag)return; th+=(e.x-lx)*0.01; ph+=(e.y-ly)*0.01;
-  ph=Math.max(-1.4,Math.min(1.4,ph)); lx=e.x; ly=e.y; load();};
-window.onwheel=e=>{r*=e.deltaY>0?1.1:0.9; load();};
-load(); setInterval(load, 3000);
+let th=0.5, ph=0.4, r=2.4, t=[0,0,0], busy=false, drag=false, dirty=true;
+const $=id=>document.getElementById(id);
+const img=$('c');
+const keys=[];
+function params(w){
+  return `theta=${th}&phi=${ph}&radius=${r}&tx=${t[0]}&ty=${t[1]}&tz=${t[2]}`+
+    `&fov=${$('fov').value}&spp=${drag?1:$('spp').value}`+
+    `&mode=${$('mode').value}&light=${$('light').value}&w=${w}&h=${w}`;
+}
+function load(){ if(busy||!dirty) return; busy=true; dirty=false;
+  const w = drag ? 128 : +$('res').value;
+  const u=`/render?`+params(w);
+  const i=new Image();
+  i.onload=()=>{img.src=u; busy=false; if(dirty) load();};
+  i.onerror=()=>{busy=false;};
+  i.src=u; }
+function mark(){ dirty=true; load(); }
+let lx=0,ly=0,pan=false;
+img.onmousedown=e=>{drag=true;pan=e.shiftKey;lx=e.x;ly=e.y};
+window.onmouseup=()=>{if(drag){drag=false;mark();}};
+window.onmousemove=e=>{if(!drag)return;
+  const dx=e.x-lx, dy=e.y-ly; lx=e.x; ly=e.y;
+  if(pan){const s=r*0.002;
+    t[0]-=s*(dx*Math.sin(th)); t[2]+=s*(dx*Math.cos(th)); t[1]+=s*dy;}
+  else {th+=dx*0.01; ph+=dy*0.01; ph=Math.max(-1.4,Math.min(1.4,ph));}
+  mark();};
+window.onwheel=e=>{r*=e.deltaY>0?1.1:0.9; mark();};
+for(const id of ['mode','spp','res','fov','light'])
+  $(id).oninput=()=>{ $('sppv').innerText=$('spp').value;
+    $('resv').innerText=$('res').value; $('fovv').innerText=$('fov').value;
+    $('lightv').innerText=$('light').value; mark(); };
+$('key').onclick=()=>{ keys.push({theta:th,phi:ph,radius:r,
+  target:[...t],fov:+$('fov').value}); $('nkey').innerText=keys.length; };
+$('exp').onclick=async()=>{
+  const res=await fetch('/save_path',{method:'POST',
+    body:JSON.stringify({keyframes:keys,n_frames:keys.length*24})});
+  alert(await res.text()); };
+async function poll(){
+  try{
+    const m=await (await fetch('/metrics')).json();
+    $('step').innerText=m.step;
+    if(m.losses.length){ $('loss').innerText=m.losses.at(-1)[1].toFixed(4);
+      const c=$('spark').getContext('2d'); c.clearRect(0,0,210,48);
+      const vs=m.losses.map(p=>p[1]);
+      const lo=Math.min(...vs), hi=Math.max(...vs)+1e-12;
+      c.strokeStyle='#6cf'; c.beginPath();
+      vs.forEach((v,i)=>{const x=i/(vs.length-1||1)*208+1,
+        y=46-(v-lo)/(hi-lo)*44; i?c.lineTo(x,y):c.moveTo(x,y);});
+      c.stroke(); }
+  }catch(e){}
+  setTimeout(poll, 2000); }
+mark(); poll(); setInterval(()=>{dirty=true;load();}, 5000);
 </script></body></html>"""
+
+MODES = ("rgb", "depth", "accumulation", "normal")
 
 
 class ViewerState:
     """Mutable handle the trainer updates; the server reads it."""
 
-    def __init__(self, render_fn, scene_radius: float = 2.4):
-        # render_fn(theta, phi, radius, w, h) -> (h, w, 3) float radiance
+    def __init__(self, render_fn, scene_radius: float = 2.4,
+                 save_dir: Optional[Path] = None):
+        # render_fn(theta, phi, radius, w, h, target, fov_deg, spp, mode,
+        #           light_angle) -> (h, w, 3) float radiance/visualization
         self.render_fn = render_fn
         self.scene_radius = scene_radius
         self.step = 0
+        self.losses: deque = deque(maxlen=200)  # (step, loss)
+        self.save_dir = Path(save_dir) if save_dir else Path(".")
+
+    def put_metrics(self, step: int, metrics: dict) -> None:
+        self.step = step
+        loss = metrics.get("loss")
+        if loss is not None and np.isfinite(loss):
+            self.losses.append((int(step), float(loss)))
+
+
+def keyframes_to_camera_path(payload: dict) -> dict:
+    """Viewer keyframes -> the camera-path JSON consumed by
+    `scripts/render.py camera-path --camera-path-file` ({"keyframes":
+    [{"c2w": 3x4, "fov_deg": f}], "n_frames": N})."""
+    from ..data.synthetic import look_at
+
+    out = []
+    for k in payload.get("keyframes", []):
+        th, ph, r = k["theta"], k["phi"], k["radius"]
+        target = np.asarray(k.get("target", (0, 0, 0)), np.float32)
+        eye = target + r * np.array(
+            [np.cos(th) * np.cos(ph), np.sin(ph), np.sin(th) * np.cos(ph)],
+            np.float32,
+        )
+        c2w = look_at(eye, target)[:3]
+        out.append({"c2w": np.asarray(c2w).tolist(),
+                    "fov_deg": float(k.get("fov", 40.0))})
+    return {"keyframes": out,
+            "n_frames": int(payload.get("n_frames", max(1, len(out)) * 24))}
 
 
 def _make_handler(state: ViewerState):
@@ -54,56 +169,99 @@ def _make_handler(state: ViewerState):
         def log_message(self, *a):  # silence request spam
             pass
 
+        def _send(self, body: bytes, ctype: str, code: int = 200):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path == "/save_path":
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    path_json = keyframes_to_camera_path(payload)
+                    if not path_json["keyframes"]:
+                        self._send(b"no keyframes set", "text/plain", 400)
+                        return
+                    out = state.save_dir / "camera_path.json"
+                    out.parent.mkdir(parents=True, exist_ok=True)
+                    out.write_text(json.dumps(path_json, indent=1))
+                    msg = (
+                        f"wrote {out} — render with:\n"
+                        "python -m nerf_emitter_tpu.scripts.render camera-path "
+                        f"--camera-path-file {out} --load-config <run>/config.json"
+                    )
+                    self._send(msg.encode(), "text/plain")
+                except Exception as e:
+                    self._send(str(e).encode(), "text/plain", 500)
+                return
+            self._send(b"not found", "text/plain", 404)
+
         def do_GET(self):
             url = urlparse(self.path)
             if url.path == "/":
-                body = _PAGE.encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "text/html")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._send(_PAGE.encode(), "text/html")
                 return
             if url.path == "/status":
-                body = json.dumps({"step": state.step}).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.end_headers()
-                self.wfile.write(body)
+                self._send(
+                    json.dumps({"step": state.step}).encode(),
+                    "application/json",
+                )
+                return
+            if url.path == "/metrics":
+                self._send(
+                    json.dumps(
+                        {"step": state.step, "losses": list(state.losses)}
+                    ).encode(),
+                    "application/json",
+                )
                 return
             if url.path == "/render":
                 q = parse_qs(url.query)
-                theta = float(q.get("theta", [0.5])[0])
-                phi = float(q.get("phi", [0.4])[0])
-                radius = float(q.get("radius", [state.scene_radius])[0])
-                w = min(int(q.get("w", [256])[0]), 1024)
-                h = min(int(q.get("h", [256])[0]), 1024)
+
+                def f(name, default):
+                    return float(q.get(name, [default])[0])
+
+                theta, phi = f("theta", 0.5), f("phi", 0.4)
+                radius = f("radius", state.scene_radius)
+                target = (f("tx", 0.0), f("ty", 0.0), f("tz", 0.0))
+                fov = f("fov", 40.0)
+                spp = max(1, min(int(f("spp", 4)), 64))
+                light = f("light", 0.0) * np.pi / 180.0
+                mode = q.get("mode", ["rgb"])[0]
+                if mode not in MODES:
+                    mode = "rgb"
+                w = min(int(f("w", 256)), 1024)
+                h = min(int(f("h", 256)), 1024)
                 try:
-                    rgb = np.asarray(state.render_fn(theta, phi, radius, w, h))
+                    rgb = np.asarray(
+                        state.render_fn(
+                            theta, phi, radius, w, h, target=target,
+                            fov_deg=fov, spp=spp, mode=mode,
+                            light_angle=light,
+                        )
+                    )
                 except Exception as e:  # render errors -> 500 with message
-                    msg = str(e).encode()
-                    self.send_response(500)
-                    self.end_headers()
-                    self.wfile.write(msg)
+                    self._send(str(e).encode(), "text/plain", 500)
                     return
-                # tonemap to PNG
                 from PIL import Image
 
-                from ..utils.math import linear_to_srgb
                 import jax.numpy as jnp
 
-                srgb = np.asarray(linear_to_srgb(jnp.asarray(rgb)))
+                from ..utils.math import linear_to_srgb
+
+                if mode == "rgb":
+                    vis = np.asarray(linear_to_srgb(jnp.asarray(rgb)))
+                else:
+                    vis = np.clip(rgb, 0.0, 1.0)
                 buf = io.BytesIO()
-                Image.fromarray((srgb * 255).astype(np.uint8)).save(buf, "PNG")
-                body = buf.getvalue()
-                self.send_response(200)
-                self.send_header("Content-Type", "image/png")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                Image.fromarray((vis * 255).astype(np.uint8)).save(buf, "PNG")
+                self._send(buf.getvalue(), "image/png")
                 return
-            self.send_response(404)
-            self.end_headers()
+            self._send(b"not found", "text/plain", 404)
 
     return Handler
 
@@ -113,12 +271,17 @@ def start_viewer(state: ViewerState, port: int = 7007) -> ThreadingHTTPServer:
     server = ThreadingHTTPServer(("0.0.0.0", port), _make_handler(state))
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
-    print(f"viewer: http://localhost:{port}")
+    print(f"viewer: http://localhost:{server.server_address[1]}")
     return server
 
 
-def make_orbit_render_fn(pipeline, dataset, spp: int = 4):
-    """Adapter: (theta, phi, radius, w, h) -> rgb from the live pipeline."""
+def make_orbit_render_fn(pipeline, dataset, default_spp: int = 4):
+    """Adapter from viewer camera parameters to the live pipeline.
+
+    Renders through pipeline.render_camera_outputs (NeRF before takeover,
+    SDF + emitter after) and visualizes the requested output. A non-zero
+    light_angle rotates the NeRF emitter around +y about the object center
+    for a relighting preview (reference set_light_axis_angle)."""
     import jax
     import jax.numpy as jnp
 
@@ -126,21 +289,72 @@ def make_orbit_render_fn(pipeline, dataset, spp: int = 4):
     from ..data.datamanager import ImageDataset
     from ..data.synthetic import look_at
 
-    def render(theta, phi, radius, w, h):
-        eye = radius * np.array(
-            [np.cos(theta) * np.cos(phi), np.sin(phi), np.sin(theta) * np.cos(phi)],
+    def render(theta, phi, radius, w, h, target=(0.0, 0.0, 0.0),
+               fov_deg=40.0, spp=None, mode="rgb", light_angle=0.0):
+        spp = default_spp if spp is None else spp
+        tgt = np.asarray(target, np.float32)
+        eye = tgt + radius * np.array(
+            [np.cos(theta) * np.cos(phi), np.sin(phi),
+             np.sin(theta) * np.cos(phi)],
             np.float32,
         )
-        c2w = look_at(eye, np.zeros(3))[:3]
-        f = 0.5 * w / np.tan(0.35)
+        c2w = look_at(eye, tgt)[:3]
+        f = 0.5 * w / np.tan(np.deg2rad(fov_deg) / 2.0)
         cams = Cameras(
             camera_to_worlds=jnp.asarray(c2w[None]),
             fx=jnp.full((1,), f), fy=jnp.full((1,), f),
             cx=jnp.full((1,), w / 2), cy=jnp.full((1,), h / 2),
             width=w, height=h,
         )
-        ds = ImageDataset(cameras=cams, images=dataset.images[:1], is_hdr=True)
-        out = pipeline.render_camera_outputs(ds, 0, jax.random.PRNGKey(0), spp=spp)
-        return out["rgb"]
+        if light_angle != 0.0 and pipeline.sdf_state is not None:
+            # relighting preview: SDF render with the emitter queries
+            # rotated about the object center (scripts/render.py
+            # rotate-light, reference mitsuba_sdf.py:1230-1233)
+            from ..renderer.integrator import render_spp
+            from ..renderer.sensors import camera_rays_in_render_space
+
+            base = pipeline._emitter_fn_of(pipeline.nerf_state.params)
+            c, s = np.cos(light_angle), np.sin(light_angle)
+            rot = jnp.asarray(
+                [[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]], jnp.float32
+            )
+            center = jnp.asarray([0.5, 0.5, 0.5])
+
+            def rotated(x, d):
+                return base((x - center) @ rot.T + center, d @ rot.T)
+
+            o, d = camera_rays_in_render_space(
+                cams, jnp.int32(0), h, w, pipeline.config.scene_scale
+            )
+            out = render_spp(
+                pipeline.sdf_state.scene, o, d, jax.random.PRNGKey(0), spp,
+                emitter_fn=rotated, config=pipeline.render_config,
+            )
+            out = {
+                "rgb": out["rgb"].reshape(h, w, 3),
+                "depth": out["depth"].reshape(h, w, 1)
+                if "depth" in out else None,
+                "normal": out["normal"].reshape(h, w, 3)
+                if "normal" in out else None,
+                "accumulation": out["soft_mask"].reshape(h, w, 1),
+            }
+        else:
+            ds = ImageDataset(
+                cameras=cams, images=dataset.images[:1], is_hdr=True
+            )
+            out = pipeline.render_camera_outputs(
+                ds, 0, jax.random.PRNGKey(0), spp=spp
+            )
+        if mode == "rgb" or out.get(mode) is None:
+            return out["rgb"]
+        v = np.asarray(out[mode])
+        if mode == "depth":
+            d = v[..., 0]
+            lo, hi = np.percentile(d, 2), np.percentile(d, 98)
+            v = ((d - lo) / max(hi - lo, 1e-6))[..., None]
+            return np.repeat(np.clip(v, 0, 1), 3, axis=-1)
+        if mode == "accumulation":
+            return np.repeat(np.clip(v, 0, 1), 3, axis=-1)
+        return 0.5 * (v + 1.0)  # normal
 
     return render
