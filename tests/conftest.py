@@ -38,6 +38,7 @@ import pytest  # noqa: E402
 # gate (<10 min warm); the full suite stays the merge bar.
 _SLOW_TESTS = {
     "test_hdr_to_sdf_checkpoint_chain",
+    "test_resume_past_upsample",
     "test_aggregate_step_runs_and_descends",
     "test_sdf_inverse_rendering_recovers_shape",
     "test_mean_parameter_tracking_and_swap",

@@ -109,6 +109,62 @@ def test_nerf_train_step_mesh_parity(mesh):
                                    rtol=2e-4, atol=1e-6)
 
 
+def test_takeover_step_mesh_smoke():
+    """QUICK-TIER takeover-step mesh smoke (one compile, 2 devices, tiny
+    shapes): the ray-sharded SDF step — the code path behind the driver's
+    dryrun_multichip contract — executes and returns finite metrics on
+    every quick gate, not only in the slow full-suite parity test."""
+    from nerf_emitter_tpu.pipelines.nerf_emitter import make_nerf_emitter_fn
+    from nerf_emitter_tpu.pipelines.sdf_optimizer import (
+        SdfOptState,
+        TakeoverConfig,
+        build_sdf_optimizer,
+        make_sdf_train_step,
+    )
+    from nerf_emitter_tpu.renderer.integrator import RenderConfig
+    from nerf_emitter_tpu.renderer.optimize import SdfOptConfig, VariableSpec
+    from nerf_emitter_tpu.renderer.scene import SdfScene
+    from nerf_emitter_tpu.renderer.sphere_trace import SphereTraceConfig
+
+    mesh2 = make_mesh(2)
+    dataset = _ring_dataset(h=4, w=4)
+    model = _tiny_model()
+    cfg = TrainConfig(num_rays_per_batch=16, near=0.05, far=4.0, max_steps=10)
+    rays = dataset.cameras.generate_rays(
+        jnp.zeros((2,), jnp.int32), jnp.zeros((2, 2), jnp.int32),
+        nears=cfg.near, fars=cfg.far,
+    )
+    state, _ = create_train_state(model, cfg, rays, jax.random.PRNGKey(0))
+    object_aabb = jnp.asarray([[-0.3, -0.3, -0.3], [0.3, 0.3, 0.3]])
+    emitter_fn = make_nerf_emitter_fn(model, 1.0, object_aabb)(state.params)
+    opt_cfg = SdfOptConfig(
+        name="smoke", bsdf_type=0, loss="relative_l1",
+        variables=(
+            VariableSpec("sdf", lr=3e-3),
+            VariableSpec("albedo", lr=1e-2, clamp=(0.0, 1.0)),
+            VariableSpec("roughness", lr=0.0, clamp=(0.02, 1.0)),
+        ),
+        init_res=9, tex_res=4, render_upsample_iter=(), curvature_mult=0.0,
+    )
+    takeover = TakeoverConfig(spp=1, image_height=4, image_width=4,
+                              scene_scale=1.0)
+    rconf = RenderConfig(trace=SphereTraceConfig(max_steps=4, t_max=3.0))
+    scene = SdfScene.create(sdf_res=9, tex_res=4)
+    tx = build_sdf_optimizer(opt_cfg)
+    sdf_state = jax.device_put(
+        SdfOptState(step=jnp.int32(0), scene=scene, opt_state=tx.init(scene)),
+        replicated(mesh2),
+    )
+    step = make_sdf_train_step(opt_cfg, takeover, tx, emitter_fn=emitter_fn,
+                               render_config=rconf, mesh=mesh2,
+                               data_axis=DATA_AXIS)
+    gt = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4, 3)))
+    _, metrics = step(sdf_state, dataset.cameras,
+                      jnp.zeros((1,), jnp.int32), gt,
+                      jnp.ones((1, 4, 4, 1)), jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_takeover_step_mesh_parity(mesh):
     """One SDF takeover step (NeRF emitter, ray-sharded render) on the mesh
     == the single-device step."""
