@@ -16,7 +16,12 @@ Two field implementations are measured and the faster one is reported
 Baseline constant: the reference publishes no rays/sec figure
 (BASELINE.md), so `vs_baseline` is computed against an engineering
 estimate of the reference's emitter-query throughput on one A100 (tcnn
-fp16 nerfacto eval at 48+352 samples/ray): ~1.5e6 rays/s.
+fp16 nerfacto eval at 48+352 samples/ray): ~1.5e6 rays/s. Sanity checks
+(RESULTS_r03.md): 1.5M rays/s is ~6-10 TFLOP/s of fused-MLP work (2-3%
+of A100 fp16 peak, so not unfairly low), the hash tables are L2-resident
+(no hidden bandwidth wall), and reported nerfacto eval throughputs on
+A100-class GPUs are 0.5-1.1M rays/s — the constant is at or above the
+plausible range, making `vs_baseline` conservative.
 
 Timing note: device->host transfer of the result forces a true sync (the
 axon tunnel's block_until_ready can return before execution completes).
