@@ -39,6 +39,20 @@ NUM_RAYS = 2**16
 N_ITERS = 8
 
 
+def _sample_schedule() -> tuple:
+    """(proposal_0, proposal_1, nerf) sample counts. Defaults to the
+    primary-view schedule the reference queries at; override with
+    NERF_EMITTER_BENCH_SAMPLES="p0,p1,n" to measure a reduced
+    emitter-query schedule (pipeline.emitter_samples)."""
+    import os
+
+    raw = os.environ.get("NERF_EMITTER_BENCH_SAMPLES")
+    if not raw:
+        return (256, 96, 48)
+    p0, p1, n = (int(x) for x in raw.split(","))
+    return (p0, p1, n)
+
+
 def bench_implementation(implementation: str) -> float:
     import jax
     import jax.numpy as jnp
@@ -47,10 +61,11 @@ def bench_implementation(implementation: str) -> float:
     from nerf_emitter_tpu.cameras.rays import RayBundle
     from nerf_emitter_tpu.models.nerfacto import NerfactoModel
 
+    p0, p1, n_nerf = _sample_schedule()
     model = NerfactoModel(
         aabb=((-1.5, -1.5, -1.5), (1.5, 1.5, 1.5)),
-        num_nerf_samples=48,
-        num_proposal_samples=(256, 96),
+        num_nerf_samples=n_nerf,
+        num_proposal_samples=(p0, p1),
         log2_hashmap_size=19,
         max_res=2048,
         num_cameras=128,

@@ -68,29 +68,6 @@ if ! stage_done e2e_eval; then
   mark e2e_eval
 fi
 
-# ---- stage 4: relighting GT + relighting eval
-if ! stage_done relight_gt; then
-  python - <<'PY' || exit 1
-import numpy as np
-from nerf_emitter_tpu.utils import exr
-img = exr.read_exr('/tmp/sceneA/env.exr')
-exr.write_exr('/tmp/env_relit.exr', np.roll(img[..., :3], img.shape[1] // 2, axis=1))
-PY
-  python -m nerf_emitter_tpu.scripts.gen_data --object composite --albedo bands \
-    --envmap /tmp/env_relit.exr --n-views 100 --width 256 --height 256 \
-    --spp 48 --path-type random --resume --out /tmp/sceneA_relit || exit 1
-  mark relight_gt
-fi
-if ! stage_done relight_eval; then
-  wait_capture
-  python -m nerf_emitter_tpu.scripts.eval \
-    --load-config /tmp/r2_out/prod/sdf-nerfacto/config.json \
-    --emitter-path /tmp/env_relit.exr --test-data /tmp/sceneA_relit \
-    --spp 64 --output-path /tmp/r2_out/relight_metrics.json \
-    > /tmp/r2_out/relight_eval.log 2>&1 || exit 1
-  mark relight_eval
-fi
-
 # =======================================================================
 # round-3 stages (VERDICT r2 items 1, 3, 5): chamfer vs the GT mesh,
 # trained-field emitter-schedule profile, and the full takeover A/B arm
@@ -132,7 +109,8 @@ fi
 # ---- r3 stage: builder-side bench refresh on a quiet chip
 if ! stage_done r3_bench; then
   wait_capture
-  timeout 1800 python bench.py > /tmp/r2_out/r3_bench.json 2>&1 || exit 1
+  timeout 1800 python bench.py > /tmp/r2_out/r3_bench.json \
+    2> /tmp/r2_out/r3_bench.log || exit 1
   mark r3_bench
 fi
 
@@ -172,6 +150,40 @@ if ! stage_done r3_eval_ab; then
     --spp 64 --output-path /tmp/r2_out/e2e_metrics_ab.json \
     > /tmp/r2_out/r3_eval_ab.log 2>&1 || exit 1
   mark r3_eval_ab
+fi
+
+# ---- r3 stage: reduced-schedule query bench (the A/B arm's throughput)
+if ! stage_done r3_bench_reduced; then
+  wait_capture
+  NERF_EMITTER_BENCH_SAMPLES=128,48,24 timeout 1800 python bench.py \
+    > /tmp/r2_out/r3_bench_reduced.json \
+    2> /tmp/r2_out/r3_bench_reduced.log || exit 1
+  mark r3_bench_reduced
+fi
+
+# ---- relighting GT + relighting eval (after the A/B: the GT gen is
+# hours of chip; the quality/perf decisions above outrank it if the
+# round ends first). 50 views / spp 32 keeps it ~1h.
+if ! stage_done relight_gt; then
+  python - <<'PY' || exit 1
+import numpy as np
+from nerf_emitter_tpu.utils import exr
+img = exr.read_exr('/tmp/sceneA/env.exr')
+exr.write_exr('/tmp/env_relit.exr', np.roll(img[..., :3], img.shape[1] // 2, axis=1))
+PY
+  python -m nerf_emitter_tpu.scripts.gen_data --object composite --albedo bands \
+    --envmap /tmp/env_relit.exr --n-views 50 --width 256 --height 256 \
+    --spp 32 --path-type random --resume --out /tmp/sceneA_relit || exit 1
+  mark relight_gt
+fi
+if ! stage_done relight_eval; then
+  wait_capture
+  python -m nerf_emitter_tpu.scripts.eval \
+    --load-config /tmp/r2_out/prod/sdf-nerfacto/config.json \
+    --emitter-path /tmp/env_relit.exr --test-data /tmp/sceneA_relit \
+    --spp 64 --output-path /tmp/r2_out/relight_metrics.json \
+    > /tmp/r2_out/relight_eval.log 2>&1 || exit 1
+  mark relight_eval
 fi
 
 # ---- stage 5: freq-vs-hash A/B (sceneA full res + a second scene)
