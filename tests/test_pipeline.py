@@ -268,5 +268,5 @@ def test_emitter_samples_override(tiny_setup):
     mf, mc = float(jnp.mean(r_full)), float(jnp.mean(r_cheap))
     assert abs(mf - mc) <= 0.5 * max(mf, mc, 1e-3)
     # non-multiple-of-8 schedules are rejected up front
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         make_nerf_emitter_fn(model, 1.0, aabb, samples_override=(12, 8, 6))
