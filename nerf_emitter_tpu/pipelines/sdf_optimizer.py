@@ -385,14 +385,49 @@ def make_sdf_train_step(
         )
         return out["rgb"] * chunk_spp  # sum over samples
 
-    def grad_loss_one(scene, cameras, cam_idx, key_img, det_sum, gt, mask, occ):
+    # The attached-chunk gradient program's live memory scales with
+    # (pixels x spp_attached); past the render-res upsamples one whole-
+    # image program exceeds HBM (measured: 33.7G wanted at 256^2 x spp 16
+    # vs 15.75G on a v5e). Band the gradient over pixel ROWS: every loss
+    # term decomposes exactly over disjoint pixel sets (the rgb losses are
+    # per-pixel-normalized means; grid-global terms are weighted band_h/h
+    # so they sum back to themselves), one compiled program serves every
+    # band via a dynamic row offset, and each band is one more bounded
+    # dispatch for the tunnel/capture protocol.
+    import os as _os
+
+    _band_budget = int(
+        _os.environ.get("NERF_EMITTER_GRAD_BAND_BUDGET", 128 * 128 * 16)
+    )  # pixels x spp_att that fit in HBM (v5e-measured default)
+    n_grad_bands = 1
+    while (h * w * spp_att) // n_grad_bands > _band_budget and n_grad_bands < h:
+        n_grad_bands *= 2
+    band_h = max(1, h // n_grad_bands)
+
+    def grad_loss_one(scene, cameras, cam_idx, key_img, det_sum, gt, mask,
+                      occ, row0, band_i):
         k_jitter, k_spp = jax.random.split(key_img)
-        k_att = jax.random.fold_in(k_spp, 1)
-        k_curv = jax.random.fold_in(k_spp, 2)
+        # fold the band index in: bands must not replay the same per-ray
+        # randomness shifted by band_h rows
+        k_att = jax.random.fold_in(jax.random.fold_in(k_spp, 1), band_i)
+        k_curv = jax.random.fold_in(jax.random.fold_in(k_spp, 2), band_i)
         if gt.shape[:2] != (h, w):
             gt = jax.image.resize(gt, (h, w, 3), "linear")
             mask = jax.image.resize(mask, (h, w, 1), "linear")
+
+        def band_flat(x):  # (h*w, c) -> rows [row0, row0+band_h)
+            return jax.lax.dynamic_slice(
+                x, (row0 * w, 0), (band_h * w, x.shape[1])
+            )
+
+        def band_img(x):  # (h, w, c) -> (band_h, w, c)
+            return jax.lax.dynamic_slice(
+                x, (row0, 0, 0), (band_h, w, x.shape[2])
+            )
+
         o, d = _rays_of(cameras, cam_idx, k_jitter)
+        o, d = shard_rays(band_flat(o), band_flat(d))
+        gt_b, mask_b = band_img(gt), band_img(mask)
         out = render_spp(
             scene, o, d, k_att, spp_att,
             emitter_fn=_em_of(cam_idx), config=render_config,
@@ -400,27 +435,32 @@ def make_sdf_train_step(
         )
         # primal = full-spp mean; gradient flows through the attached
         # samples only (the reference's one-attached-batch estimator)
-        pred = (det_sum + out["rgb"] * spp_att) / takeover.spp
-        pred = pred.reshape(h, w, 3)
-        soft = out["soft_mask"].reshape(h, w, 1)
-        mask_weight = jnp.ones_like(mask)
+        pred = (band_flat(det_sum) + out["rgb"] * spp_att) / takeover.spp
+        pred = pred.reshape(band_h, w, 3)
+        soft = out["soft_mask"].reshape(band_h, w, 1)
+        mask_weight = jnp.ones_like(mask_b)
         if occ is not None:
             o_rgb, o_m, bg = occ
             rs = lambda x, c: jax.image.resize(x, (h, w, c), "linear")
-            o_rgb, o_m, bg = rs(o_rgb, 3), rs(o_m, 1), rs(bg, 3)
+            o_rgb, o_m, bg = (
+                band_img(rs(o_rgb, 3)), band_img(rs(o_m, 1)),
+                band_img(rs(bg, 3)),
+            )
             base = pred * soft + bg * (1.0 - soft)
             pred = o_rgb * o_m + base * (1.0 - o_m)
             mask_weight = 1.0 - o_m
-        view_loss = loss_fn_rgb(pred, gt)
-        mask_loss = jnp.mean(mask_weight * (soft - mask) ** 2)
+        frac = band_h / h  # band terms sum to the full-image terms
+        view_loss = loss_fn_rgb(pred, gt_b) * frac
+        mask_loss = jnp.mean(mask_weight * (soft - mask_b) ** 2) * frac
         oc, dc = _rays_of(cameras, cam_idx, k_curv)
-        curv = jnp.mean(
+        oc, dc = shard_rays(band_flat(oc), band_flat(dc))
+        curv = frac * jnp.mean(
             render_curvature(
                 scene, oc, dc, render_config,
                 curvature_epsilon=opt_config.curvature_epsilon,
             )
         )
-        lap = laplacian_reg(scene.sdf)
+        lap = frac * laplacian_reg(scene.sdf)
         total = (
             view_loss
             + (takeover.mask_loss_mult * mask_loss
@@ -434,10 +474,11 @@ def make_sdf_train_step(
         }
 
     @jax.jit
-    def grad_one(scene, cameras, cam_idx, key_img, det_sum, gt, mask,
-                 occ=None):
+    def grad_one_band(scene, cameras, cam_idx, key_img, det_sum, gt, mask,
+                      occ, row0, band_i):
         return jax.grad(grad_loss_one, has_aux=True)(
-            scene, cameras, cam_idx, key_img, det_sum, gt, mask, occ
+            scene, cameras, cam_idx, key_img, det_sum, gt, mask, occ,
+            row0, band_i,
         )
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -467,10 +508,16 @@ def make_sdf_train_step(
                 None if occ_layers is None
                 else tuple(x[i] for x in occ_layers)
             )
-            g, m = grad_one(
-                state.scene, cameras, cam_indices[i], keys[i], det_sum,
-                gt_images[i], gt_masks[i], occ_i,
-            )
+            g, m = None, None
+            for bi in range(n_grad_bands):
+                capture_lock.checkpoint()
+                gb, mb = grad_one_band(
+                    state.scene, cameras, cam_indices[i], keys[i], det_sum,
+                    gt_images[i], gt_masks[i], occ_i,
+                    jnp.int32(bi * band_h), jnp.int32(bi),
+                )
+                g = gb if g is None else jax.tree.map(jnp.add, g, gb)
+                m = mb if m is None else jax.tree.map(jnp.add, m, mb)
             grads_acc = (
                 g if grads_acc is None
                 else jax.tree.map(jnp.add, grads_acc, g)
