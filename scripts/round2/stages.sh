@@ -114,6 +114,16 @@ if ! stage_done r3_bench; then
   mark r3_bench
 fi
 
+# ---- r3 stage: reduced-schedule query bench (the A/B arm's throughput) —
+# runs BEFORE the multi-hour A/B arm so the number lands this round
+if ! stage_done r3_bench_reduced; then
+  wait_capture
+  NERF_EMITTER_BENCH_SAMPLES=128,48,24 timeout 1800 python bench.py \
+    > /tmp/r2_out/r3_bench_reduced.json \
+    2> /tmp/r2_out/r3_bench_reduced.log || exit 1
+  mark r3_bench_reduced
+fi
+
 # ---- r3 stage: takeover A/B arm — same trained NeRF, fresh SDF, reduced
 # emitter sample schedule (128, 48, 24). Quality delta < 0.1 dB vs the
 # default-schedule prod run makes the reduced schedule the default.
@@ -150,15 +160,6 @@ if ! stage_done r3_eval_ab; then
     --spp 64 --output-path /tmp/r2_out/e2e_metrics_ab.json \
     > /tmp/r2_out/r3_eval_ab.log 2>&1 || exit 1
   mark r3_eval_ab
-fi
-
-# ---- r3 stage: reduced-schedule query bench (the A/B arm's throughput)
-if ! stage_done r3_bench_reduced; then
-  wait_capture
-  NERF_EMITTER_BENCH_SAMPLES=128,48,24 timeout 1800 python bench.py \
-    > /tmp/r2_out/r3_bench_reduced.json \
-    2> /tmp/r2_out/r3_bench_reduced.log || exit 1
-  mark r3_bench_reduced
 fi
 
 # ---- relighting GT + relighting eval (after the A/B: the GT gen is
