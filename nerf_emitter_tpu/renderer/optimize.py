@@ -271,7 +271,7 @@ _register(
         name="diffuse-12-relativel1-hqq",
         bsdf_type=DIFFUSE,
         loss="relative_l1",
-        variables=_default_variables(3e-3, (64, 128, 192)),
+        variables=_default_variables(3e-3, (64, 128)),
         init_res=64,
     )
 )
@@ -280,7 +280,7 @@ _register(
         name="principled-12-relativel1-hqq",
         bsdf_type=PRINCIPLED,
         loss="relative_l1",
-        variables=_default_variables(3e-3, (64, 128, 192)),
+        variables=_default_variables(3e-3, (64, 128)),
         init_res=64,
     )
 )
@@ -289,7 +289,7 @@ _register(
         name="principled-12-relativemaxl1-hqq-unirough",
         bsdf_type=PRINCIPLED,
         loss="relative_max_l1",
-        variables=_default_variables(3e-3, (64, 128, 192)),
+        variables=_default_variables(3e-3, (64, 128)),
         init_res=64,
         tex_res=32,
     )
@@ -317,9 +317,19 @@ def validate_params(scene: SdfScene, config: SdfOptConfig, step: int) -> SdfScen
 
 
 def maybe_upsample(scene: SdfScene, config: SdfOptConfig, step: int) -> SdfScene:
+    """Volume upsample schedule. Driven by the SDF VariableSpec's own
+    upsample_iters (the reference separates per-variable upsampling from
+    render_upsample_iter, which doubles the SENSOR resolution): with the
+    default 64-init and two iters the grid ends at 253^3 ~ the reference's
+    256-class final resolution, while the render res follows all three
+    render_upsample_iter doublings. (Coupling the grid to the render
+    schedule drove it to 505^3 — 8x the memory of the final render-matched
+    grid for no documented quality target.)"""
     from .grid3d import upsample_grid
 
-    if step in config.render_upsample_iter:
+    spec = next((v for v in config.variables if v.name == "sdf"), None)
+    iters = spec.upsample_iters if spec is not None else config.render_upsample_iter
+    if step in iters:
         cur = scene.sdf.shape[0]
         scene = scene.replace(sdf=upsample_grid(scene.sdf, cur * 2 - 1))
     return scene
