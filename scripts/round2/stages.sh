@@ -97,15 +97,6 @@ PY
   mark r3_chamfer
 fi
 
-# ---- r3 stage: emitter sample-schedule rel-RMS on the TRAINED field
-if ! stage_done r3_emitter_ab_profile; then
-  wait_capture
-  timeout 2400 python scripts/profile_emitter_samples.py \
-    --load-config /tmp/r2_out/prod/sdf-nerfacto/config.json \
-    > /tmp/r2_out/r3_emitter_profile.log 2>&1 || exit 1
-  mark r3_emitter_ab_profile
-fi
-
 # ---- r3 stage: builder-side bench refresh on a quiet chip
 if ! stage_done r3_bench; then
   wait_capture
@@ -124,9 +115,46 @@ if ! stage_done r3_bench_reduced; then
   mark r3_bench_reduced
 fi
 
+# ---- relighting GT + relighting eval BEFORE the A/B arm: the prod
+# metrics (VERDICT #1) outrank the schedule A/B if the round ends first.
+# 50 views / spp 32 keeps the GT gen ~1h.
+if ! stage_done relight_gt; then
+  python - <<'PY' || exit 1
+import numpy as np
+from nerf_emitter_tpu.utils import exr
+img = exr.read_exr('/tmp/sceneA/env.exr')
+exr.write_exr('/tmp/env_relit.exr', np.roll(img[..., :3], img.shape[1] // 2, axis=1))
+PY
+  python -m nerf_emitter_tpu.scripts.gen_data --object composite --albedo bands \
+    --envmap /tmp/env_relit.exr --n-views 50 --width 256 --height 256 \
+    --spp 32 --path-type random --resume --out /tmp/sceneA_relit || exit 1
+  mark relight_gt
+fi
+if ! stage_done relight_eval; then
+  wait_capture
+  python -m nerf_emitter_tpu.scripts.eval \
+    --load-config /tmp/r2_out/prod/sdf-nerfacto/config.json \
+    --emitter-path /tmp/env_relit.exr --test-data /tmp/sceneA_relit \
+    --spp 64 --output-path /tmp/r2_out/relight_metrics.json \
+    > /tmp/r2_out/relight_eval.log 2>&1 || exit 1
+  mark relight_eval
+fi
+
+# ---- r3 stage: emitter sample-schedule rel-RMS on the TRAINED field
+if ! stage_done r3_emitter_ab_profile; then
+  wait_capture
+  timeout 2400 python scripts/profile_emitter_samples.py \
+    --load-config /tmp/r2_out/prod/sdf-nerfacto/config.json \
+    > /tmp/r2_out/r3_emitter_profile.log 2>&1 || exit 1
+  mark r3_emitter_ab_profile
+fi
+
 # ---- r3 stage: takeover A/B arm — same trained NeRF, fresh SDF, reduced
 # emitter sample schedule (128, 48, 24). Quality delta < 0.1 dB vs the
 # default-schedule prod run makes the reduced schedule the default.
+# Bounded to mi-150 (global 2150): prod stopped at the 2150 checkpoint
+# (233 s/step at 256^2 res made the full 320-step tail a ~10h run), so
+# equal-step eval at 2150 is the clean comparison that fits the round.
 # Two sub-stages so crash-retries never re-discard the arm's SDF progress:
 # the one-time SEED drops the prod SDF state (--load-nerf-only) and runs a
 # single takeover step; the CONTINUE stage is a plain idempotent --resume.
@@ -148,8 +176,8 @@ if ! stage_done r3_ab_seed; then
 fi
 if ! stage_done r3_takeover_ab; then
   wait_capture
-  timeout 21600 python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
-    "${AB_FLAGS[@]}" --resume \
+  timeout 16200 python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
+    "${AB_FLAGS[@]}" --resume --max-num-iterations 2150 \
     > /tmp/r2_out/r3_takeover_ab.log 2>&1 || exit 1
   mark r3_takeover_ab
 fi
@@ -160,31 +188,6 @@ if ! stage_done r3_eval_ab; then
     --spp 64 --output-path /tmp/r2_out/e2e_metrics_ab.json \
     > /tmp/r2_out/r3_eval_ab.log 2>&1 || exit 1
   mark r3_eval_ab
-fi
-
-# ---- relighting GT + relighting eval (after the A/B: the GT gen is
-# hours of chip; the quality/perf decisions above outrank it if the
-# round ends first). 50 views / spp 32 keeps it ~1h.
-if ! stage_done relight_gt; then
-  python - <<'PY' || exit 1
-import numpy as np
-from nerf_emitter_tpu.utils import exr
-img = exr.read_exr('/tmp/sceneA/env.exr')
-exr.write_exr('/tmp/env_relit.exr', np.roll(img[..., :3], img.shape[1] // 2, axis=1))
-PY
-  python -m nerf_emitter_tpu.scripts.gen_data --object composite --albedo bands \
-    --envmap /tmp/env_relit.exr --n-views 50 --width 256 --height 256 \
-    --spp 32 --path-type random --resume --out /tmp/sceneA_relit || exit 1
-  mark relight_gt
-fi
-if ! stage_done relight_eval; then
-  wait_capture
-  python -m nerf_emitter_tpu.scripts.eval \
-    --load-config /tmp/r2_out/prod/sdf-nerfacto/config.json \
-    --emitter-path /tmp/env_relit.exr --test-data /tmp/sceneA_relit \
-    --spp 64 --output-path /tmp/r2_out/relight_metrics.json \
-    > /tmp/r2_out/relight_eval.log 2>&1 || exit 1
-  mark relight_eval
 fi
 
 # ---- stage 5: freq-vs-hash A/B (sceneA full res + a second scene)
