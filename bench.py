@@ -90,20 +90,51 @@ def bench_implementation(implementation: str) -> float:
         from nerf_emitter_tpu.ops.mega_query import make_mega_radiance_query
 
         fused = make_mega_radiance_query(model)
-        emitter_query = jax.jit(lambda params, rays: fused(params, rays))
+        query_once = fused
     else:
+
+        def query_once(params, rays):
+            return model.apply(params, rays, train=False, hdr_radiance_only=True)["rgb"]
+
+    # N_ITERS queries chained ON DEVICE in one dispatch. Production calls
+    # the query inside the jitted takeover step, not via per-call host
+    # dispatches — and over the axon tunnel each dispatch costs a ~ms-scale
+    # RPC whose jitter moved round-2 captures by ±10% (2.10M idle vs 2.57M
+    # builder-measured for the identical kernel). The scalar loop carry
+    # perturbs each iteration's input so XLA cannot CSE the body.
+    #
+    # The 'hash' fallback keeps the host-side dispatch loop: its
+    # gather-heavy graph inside lax.scan crashed the axon TPU worker
+    # (observed 2026-08-19), and hash is never the reported flagship.
+    from jax import lax
+
+    if implementation == "freq":
 
         @jax.jit
         def emitter_query(params, rays):
-            return model.apply(params, rays, train=False, hdr_radiance_only=True)["rgb"]
+            def body(carry, _):
+                r = rays.replace(origins=rays.origins + carry * 1e-30)
+                out = query_once(params, r)
+                return out[0, 0], out
 
-    # warmup / compile, with transfer-forced sync
-    np.asarray(emitter_query(params, rays))
+            carry, outs = lax.scan(body, jnp.float32(0.0), None, length=N_ITERS)
+            return outs[-1]
 
+        # warmup / compile, with transfer-forced sync
+        np.asarray(emitter_query(params, rays))
+
+        t0 = time.perf_counter()
+        out = emitter_query(params, rays)
+        np.asarray(out)  # transfer = true completion barrier
+        dt = time.perf_counter() - t0
+        return NUM_RAYS * N_ITERS / dt
+
+    jit_query = jax.jit(query_once)
+    np.asarray(jit_query(params, rays))
     t0 = time.perf_counter()
     for _ in range(N_ITERS):
-        out = emitter_query(params, rays)
-    np.asarray(out)  # transfer = true completion barrier
+        out = jit_query(params, rays)
+    np.asarray(out)
     dt = time.perf_counter() - t0
     return NUM_RAYS * N_ITERS / dt
 

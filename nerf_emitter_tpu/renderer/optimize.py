@@ -277,6 +277,19 @@ _register(
 )
 _register(
     SdfOptConfig(
+        name="diffuse-12-relativel1-hqq-r128",
+        bsdf_type=DIFFUSE,
+        loss="relative_l1",
+        # one SDF upsample (64 -> 127): the reference's second doubling
+        # (opt_configs render_upsample_iter) targets 256^2+ sensors; at a
+        # 128^2 capture a 127^3 grid already out-resolves the pixels, and
+        # the 253^3 tail would triple per-step redistance cost for free.
+        variables=_default_variables(3e-3, (64,)),
+        init_res=64,
+    )
+)
+_register(
+    SdfOptConfig(
         name="principled-12-relativel1-hqq",
         bsdf_type=PRINCIPLED,
         loss="relative_l1",
