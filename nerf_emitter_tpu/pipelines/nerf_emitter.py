@@ -250,6 +250,10 @@ class NerfEmitterPipelineConfig:
     # (reference parity). E.g. (128, 48, 24) halves query cost for
     # per-ray variance that the >=64-spp emitter integral absorbs.
     emitter_samples: Optional[tuple] = None
+    # mi-step at which the Polyak mean starts accumulating; None = cover the
+    # last 64 steps (mean over the whole diverging/settling trajectory from
+    # takeover was measurably worse than the tail mean)
+    mean_start: Optional[int] = None
     takeover_image_size: int = 64
     sdf_init: str = "tsdf"  # 'tsdf' (from NeRF depth) | 'sphere'
     env_path: Optional[str] = None  # GT envmap for guiding_type='env'
@@ -609,15 +613,25 @@ class NerfEmitterPipeline:
         resolution/spp (the render-res upsample schedule recompiles it —
         the reference's set_sensor_res + rescale_train,
         mitsuba_sdf.py:505-545)."""
+        mean_start = self.config.mean_start
+        if mean_start is None:
+            mean_start = max(0, self.config.mi_opt_steps - 64)
         takeover = TakeoverConfig(
             spp=self._takeover_spp,
             spp_per_batch=min(
                 TakeoverConfig.spp_per_batch, self._takeover_spp
             ),
-            spp_attached=self.config.spp_attached,
+            # cap at the live spp so the render-res schedule's spp halving
+            # keeps the banded/bounded-dispatch path (exact when equal)
+            # instead of falling back to one whole-image dispatch
+            spp_attached=(
+                min(self.config.spp_attached, self._takeover_spp)
+                if self.config.spp_attached > 0 else 0
+            ),
             image_height=self._takeover_size,
             image_width=self._takeover_size,
             scene_scale=self.config.scene_scale,
+            mean_start_step=mean_start,
         )
         self.sdf_step_fn = make_sdf_train_step(
             self.opt_config, takeover, self.sdf_tx,

@@ -130,7 +130,15 @@ class TakeoverConfig:
     # device time of every dispatch (remote-link requirement) at the cost
     # of the reference's (not render_spp's exact) gradient estimator; each
     # image also becomes its own gradient-accumulation micro-step.
+    # spp_attached == spp keeps the banded/bounded dispatch structure with
+    # EXACT gradients (no detached chunks).
     spp_attached: int = 0
+    # Polyak-mean accumulation starts at this mi-step (reference
+    # load_mean_parameters semantics, mitsuba_sdf.py:547-550): averaging
+    # from takeover/upsample onward dilutes the evaluated parameters with
+    # the early, unconverged trajectory — the mean should cover only the
+    # settled tail.
+    mean_start_step: int = 0
 
 
 def make_sdf_train_step(
@@ -293,13 +301,26 @@ def make_sdf_train_step(
 
     def _apply(state, grads, metrics):
         grads = validate_gradients(grads)
+        # per-variable gradient norms: the divergence diagnostic (a data
+        # term whose norm collapses against the regularizers' is invisible
+        # in the loss values alone)
+        metrics = dict(metrics)
+        for name in OPTIMIZED_VARS:
+            metrics[f"gnorm_{name}"] = jnp.linalg.norm(getattr(grads, name))
         updates, opt_state = tx.update(grads, state.opt_state, state.scene)
         scene = optax.apply_updates(state.scene, updates)
         if state.mean_params is not None:
-            # uniform running mean m_k = m_{k-1} + (theta_k - m_{k-1})/(k+1)
-            c = state.mean_count + 1
+            # uniform running mean over steps >= mean_start_step:
+            # m_k = m_{k-1} + (theta_k - m_{k-1})/(k+1)
+            active = state.step >= takeover.mean_start_step
+            c = state.mean_count + active.astype(jnp.int32)
+            inv = 1.0 / jnp.maximum(c, 1)
             means = {
-                name: m + (getattr(scene, name) - m) / c.astype(m.dtype)
+                name: jnp.where(
+                    active,
+                    m + (getattr(scene, name) - m) * inv.astype(m.dtype),
+                    m,
+                )
                 for name, m in state.mean_params.items()
             }
         else:
@@ -337,7 +358,11 @@ def make_sdf_train_step(
     # where one multi-minute whole-batch dispatch gets killed.
     # ------------------------------------------------------------------
     spp_att = takeover.spp_attached
-    aggregate = spp_att > 0 and takeover.spp > spp_att
+    # spp_att == spp selects the BANDED-EXACT mode: no detached chunks, the
+    # full spp is attached per pixel band (remat keeps memory flat), and the
+    # detach trick degenerates to the identity — exact gradients with the
+    # bounded-dispatch structure the tunnel/capture protocol needs.
+    aggregate = spp_att > 0 and takeover.spp >= spp_att
 
     def _tag(result, is_aggregate: bool):
         # estimator provenance: aggregate-mode 'loss' is the one-attached-
@@ -434,8 +459,13 @@ def make_sdf_train_step(
             spp_per_batch=takeover.spp_per_batch,
         )
         # primal = full-spp mean; gradient flows through the attached
-        # samples only (the reference's one-attached-batch estimator)
-        pred = (band_flat(det_sum) + out["rgb"] * spp_att) / takeover.spp
+        # samples only, at SCALE 1 — the reference's detach trick
+        # `img - detach(img) + img_sum/n` (mi_util.py:48) keeps the
+        # attached-mean gradient unscaled. Dividing the attached term by
+        # spp instead (round 3) silently down-weighted the data gradient
+        # by spp_att/spp against the unscaled regularizer gradients.
+        mean = (band_flat(det_sum) + out["rgb"] * spp_att) / takeover.spp
+        pred = out["rgb"] + jax.lax.stop_gradient(mean - out["rgb"])
         pred = pred.reshape(band_h, w, 3)
         soft = out["soft_mask"].reshape(band_h, w, 1)
         mask_weight = jnp.ones_like(mask_b)
@@ -529,7 +559,7 @@ def make_sdf_train_step(
         inv_b = 1.0 / b
         grads = jax.tree.map(lambda x: x * inv_b, grads_acc)
         metrics = jax.tree.map(lambda x: x * inv_b, metrics_acc)
-        return _tag(apply_step(state, grads, metrics), True)
+        return _tag(apply_step(state, grads, metrics), spp_att < takeover.spp)
 
     if not use_occlusion:
         return lambda state, cameras, cam_indices, gt, masks, key: (
