@@ -160,6 +160,15 @@ def main():
 
     best_impl = max(results, key=results.get)
     rays_per_sec = results[best_impl]
+    # methodology provenance (advisor r3): freq is timed as ONE on-device
+    # lax.scan dispatch, hash as N_ITERS host-side dispatches over the
+    # tunnel (its gather graph inside lax.scan crashed the TPU worker), so
+    # the two numbers are not directly comparable — record which timing
+    # mode produced the reported value.
+    methodology = {
+        "freq": "on_device_scan_chain",
+        "hash": "per_dispatch_host_loop",
+    }
     print(
         json.dumps(
             {
@@ -169,6 +178,8 @@ def main():
                 "vs_baseline": round(
                     rays_per_sec / A100_EMITTER_QUERY_RAYS_PER_SEC_EST, 3
                 ),
+                "methodology": methodology[best_impl],
+                "samples_per_ray": list(_sample_schedule()),
             }
         )
     )

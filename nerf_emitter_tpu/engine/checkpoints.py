@@ -26,8 +26,17 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(self.directory, options=opts)
 
     def save(self, step: int, state: Any):
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        saved = self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
+        if not saved:
+            # orbax silently skips saves at steps <= the directory's latest
+            # (advisor r3: the round-3 A/B seed stage lost its seed
+            # checkpoints this way and the arm evaluated the wrong model) —
+            # fail loudly instead
+            raise RuntimeError(
+                f"checkpoint save at step {step} was skipped by orbax "
+                f"(directory latest: {self._mgr.latest_step()})"
+            )
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

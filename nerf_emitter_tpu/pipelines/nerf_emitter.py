@@ -448,11 +448,23 @@ class NerfEmitterPipeline:
             if self.config.sdf_init == "tsdf" and not use_env:
                 scene = self.tsdf_init()
             else:
-                # sdf-gt-envmap path: no NeRF to fuse from — sphere init
+                # sdf-gt-envmap path: no NeRF to fuse from — sphere init,
+                # sized to the OBJECT box. The old fixed radius (0.3 of the
+                # unit cube) filled the entire view from close-in captures:
+                # with every pixel ray hitting, the soft-silhouette gradient
+                # is identically zero and the blob can never shrink
+                # (observed: mask_loss pinned at 0.84 for 60 mi-steps).
+                half = float(
+                    jnp.min(self.object_aabb[1] - self.object_aabb[0])
+                ) * 0.5
+                radius = min(
+                    0.45, max(0.05, 0.8 * half / (2.0 * self.config.scene_scale))
+                )
                 scene = SdfScene.create(
                     sdf_res=self.opt_config.init_res,
                     tex_res=self.opt_config.tex_res,
                     bsdf_type=self.opt_config.bsdf_type,
+                    init_radius=radius,
                 )
                 scene = scene.replace(hide_emitters=self.config.hide_emitters)
         if use_env:

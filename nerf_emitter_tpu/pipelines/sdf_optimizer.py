@@ -96,16 +96,25 @@ def build_sdf_optimizer(config: SdfOptConfig) -> optax.GradientTransformation:
             hide_emitters=scene.hide_emitters,
         )
 
-    from ..renderer.optimize import sobolev_preconditioner
+    from ..renderer.optimize import sobolev_preconditioner, uniform_adam
 
-    lams = {v.name: v.smooth_lam for v in config.variables}
+    specs = {v.name: v for v in config.variables}
     txs = {}
     for name in ("sdf", "albedo", "roughness"):
-        adam = optax.adam(lrs.get(name, 1e-3), eps=1e-15)
-        lam = lams.get(name, 0.0)
+        spec = specs.get(name)
+        lam = spec.smooth_lam if spec is not None else 0.0
+        kind = spec.optimizer if spec is not None else "adam"
+        if kind == "uniform_adam":
+            # scalar second moment (Nicolet et al. 2021): preserves the
+            # Sobolev-smoothed descent direction — per-coordinate Adam
+            # re-amplifies the high frequencies the smoothing removed
+            # (round-3 divergence root cause)
+            adam = uniform_adam(lrs.get(name, 1e-3))
+        else:
+            adam = optax.adam(lrs.get(name, 1e-3), eps=1e-15)
         # 'hqq' recipes: screened-Laplacian smoothing of the raw gradient
-        # BEFORE Adam (the reference's cholespy preconditioner applied to
-        # the Dr.Jit grads ahead of its Adam step)
+        # BEFORE the moment-based step (the reference's cholespy
+        # preconditioner applied to the Dr.Jit grads ahead of its Adam)
         txs[name] = (
             optax.chain(sobolev_preconditioner(lam), adam) if lam > 0 else adam
         )

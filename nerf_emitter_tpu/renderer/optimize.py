@@ -107,6 +107,53 @@ def sobolev_preconditioner(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def uniform_adam(
+    lr: float, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
+) -> "optax.GradientTransformation":
+    """Adam with a UNIFORM (scalar, infinity-norm) second moment per
+    variable — Nicolet et al. 2021 ("Large Steps in Inverse Rendering")
+    UniformAdam. Per-coordinate Adam divides each voxel's update by its own
+    RMS, re-amplifying exactly the high-frequency components the Sobolev
+    preconditioner suppressed (root cause of the round-3 surface-roughening
+    divergence: curvature 19->452 over the takeover while smooth_lam=2.0
+    was chained BEFORE per-coordinate Adam). A scalar nu preserves the
+    spatial smoothness of the preconditioned descent direction while
+    keeping step-size adaptivity."""
+    import optax
+
+    def init_fn(params):
+        return {
+            "mu": jax.tree.map(jnp.zeros_like, params),
+            "nu": jax.tree.map(
+                lambda p: jnp.zeros((), jnp.float32), params
+            ),
+            "count": jnp.zeros((), jnp.int32),
+        }
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state["count"] + 1
+        mu = jax.tree.map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state["mu"], updates
+        )
+        # infinity-norm tracker with EMA decay (Adamax-style): scale-free
+        # across resolutions, no per-coordinate shaping
+        nu = jax.tree.map(
+            lambda v, g: jnp.maximum(
+                b2 * v, jnp.max(jnp.abs(g)).astype(jnp.float32) ** 2
+            ),
+            state["nu"],
+            updates,
+        )
+        bc = 1.0 - b1 ** count.astype(jnp.float32)
+        upd = jax.tree.map(
+            lambda m, v: (-lr / bc) * m / (jnp.sqrt(v) + eps), mu, nu
+        )
+        return upd, {"mu": mu, "nu": nu, "count": count}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def eikonal_residual(sdf: jax.Array) -> jax.Array:
     """Mean |(|grad f| - 1)| over interior nodes (finite differences)."""
     g = sdf[..., 0] if sdf.ndim == 4 else sdf
@@ -214,6 +261,10 @@ class VariableSpec:
     # Sobolev gradient smoothing strength (the 'hqq' recipes' cholespy
     # screened-Laplacian preconditioner); 0 = off
     smooth_lam: float = 0.0
+    # 'adam' (per-coordinate) | 'uniform_adam' (scalar second moment,
+    # Nicolet et al. 2021 — REQUIRED for smooth_lam > 0: per-coordinate
+    # normalization undoes the smoothing and roughens the surface)
+    optimizer: str = "adam"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -249,7 +300,16 @@ def _default_variables(lr: float, upsample: tuple[int, ...]) -> tuple[VariableSp
             lr=lr,
             clamp=(-1.0, 1.0),
             regularizer_weight=1e-5,
-            redistance_freq=1,
+            # Redistance every 5 steps, NOT every step: the round-4 bisect
+            # (outputs/r4/bisect*.json, scripts/round4/bisect_takeover.py)
+            # showed per-step redistancing was the round-3 divergence
+            # driver — its first-order band re-estimate (|f|/|grad f| from
+            # noisy central differences) jitters the zero set every step
+            # and the accumulated drift roughens the surface (curvature
+            # 19->452 in prod). freq=5 and freq=10 both converge (view
+            # 0.17 vs diverged 0.53 on the bisect task) with identical
+            # geometry error; 5 keeps the eikonal property tighter.
+            redistance_freq=5,
             upsample_iters=upsample,
             smooth_lam=2.0,  # 'hqq' = high-quality: preconditioned sdf grads
         ),

@@ -1,0 +1,221 @@
+#!/bin/bash
+# Round-4 TPU work queue (VERDICT r3: fix the divergence, re-run the E2E
+# to a GOOD number, land chamfer, run the deciding A/Bs). Ordered by
+# information value (VERDICT r3 weak #5): the fixed production E2E and its
+# metrics land FIRST; breadth stages follow.
+#
+# Advisor r3 fixes: set -o pipefail (tt_chain's tail swallowed failures);
+# PAUSE_FILE honors NERF_EMITTER_PAUSE_FILE; the A/B arm renames the copied
+# prod checkpoint below the seed step so orbax cannot silently skip saves
+# (checkpoints.py now also fails loudly on a skipped save).
+set -x
+set -o pipefail
+cd /root/repo
+R3=/root/repo/outputs/r3
+R4=/root/repo/outputs/r4
+mkdir -p "$R4/done" "$R4/logs"
+
+stage_done() { [ -f "$R4/done/$1" ]; }
+mark() { touch "$R4/done/$1"; }
+
+PAUSE_FILE=${NERF_EMITTER_PAUSE_FILE:-/tmp/nerf_emitter_pause}
+wait_capture() {
+  while [ -f "$PAUSE_FILE" ]; do
+    local age=$(( $(date +%s) - $(stat -c %Y "$PAUSE_FILE" 2>/dev/null || echo 0) ))
+    [ "$age" -gt 2700 ] && break
+    sleep 5
+  done
+}
+
+# append a metric JSON into RESULTS_r04.md the moment it lands (VERDICT r3
+# weak #4: no more placeholder tables)
+append_results() { # $1 = section title, $2 = json path
+  {
+    echo ""
+    echo "### $1 ($(date -u +%FT%TZ))"
+    echo '```json'
+    cat "$2"
+    echo ""
+    echo '```'
+  } >> /root/repo/RESULTS_r04.md
+}
+
+E2E_SPP=${E2E_SPP:-16}
+E2E_ATT=${E2E_ATT:-8}
+E2E_BATCH=${E2E_BATCH:-2}
+TRAIN_FLAGS=(--datacfg.data "$R3/sceneB" --output-dir "$R4"
+  --opt-config-name diffuse-12-relativel1-hqq-r128
+  --pipeline.spp "$E2E_SPP" --pipeline.spp-attached "$E2E_ATT"
+  --pipeline.batch-size "$E2E_BATCH"
+  --steps-per-save 50 --steps-per-eval-image 10000)
+
+# ---- the FIXED production E2E at the reference schedule (2000+320)
+if ! stage_done e2e_train; then
+  wait_capture
+  echo "=== e2e_train attempt $(date +%H:%M:%S) ===" >> "$R4/logs/e2e_train.log"
+  timeout 10800 python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
+    "${TRAIN_FLAGS[@]}" --experiment-name prod4 --resume \
+    >> "$R4/logs/e2e_train.log" 2>&1 || exit 1
+  mark e2e_train
+fi
+
+if ! stage_done e2e_eval; then
+  wait_capture
+  python -m nerf_emitter_tpu.scripts.eval \
+    --load-config "$R4/prod4/sdf-nerfacto/config.json" \
+    --spp 32 --output-path "$R4/e2e_metrics.json" \
+    > "$R4/logs/e2e_eval.log" 2>&1 || exit 1
+  append_results "E2E NVS metrics (prod4)" "$R4/e2e_metrics.json"
+  mark e2e_eval
+fi
+
+if ! stage_done relight_eval; then
+  wait_capture
+  python -m nerf_emitter_tpu.scripts.eval \
+    --load-config "$R4/prod4/sdf-nerfacto/config.json" \
+    --emitter-path "$R3/env_relit.exr" --test-data "$R3/sceneB_relit" \
+    --spp 32 --output-path "$R4/relight_metrics.json" \
+    > "$R4/logs/relight_eval.log" 2>&1 || exit 1
+  append_results "E2E relighting metrics (prod4)" "$R4/relight_metrics.json"
+  mark relight_eval
+fi
+
+# ---- chamfer vs analytic GT mesh (gt_mesh landed in r3; CPU)
+if ! stage_done chamfer; then
+  {
+    JAX_PLATFORMS=cpu python -m nerf_emitter_tpu.scripts.exporter mi-marching-cubes \
+      --load-config "$R4/prod4/sdf-nerfacto/config.json" \
+      --resolution 192 --output-dir "$R4/prod4_mesh" &&
+    JAX_PLATFORMS=cpu python -m nerf_emitter_tpu.scripts.chamfer \
+      "$R4/prod4_mesh/mesh.ply" "$R3/gt_mesh/mesh.ply" \
+      --output-path "$R4/chamfer.json"
+  } > "$R4/logs/chamfer.log" 2>&1 || exit 1
+  append_results "Chamfer vs GT mesh (prod4)" "$R4/chamfer.json"
+  mark chamfer
+fi
+
+# ---- sdf-gt-envmap baseline on chip, full 320 steps (VERDICT r3 #8) +
+# eval: isolates the SDF optimizer from the emitter bridge, and is the
+# BASELINE.md staged config #2 deliverable
+if ! stage_done envgt_train; then
+  wait_capture
+  echo "=== envgt attempt $(date +%H:%M:%S) ===" >> "$R4/logs/envgt.log"
+  timeout 7200 python -m nerf_emitter_tpu.scripts.train sdf-gt-envmap \
+    "${TRAIN_FLAGS[@]}" --experiment-name envgt --resume \
+    >> "$R4/logs/envgt.log" 2>&1 || exit 1
+  mark envgt_train
+fi
+if ! stage_done envgt_eval; then
+  wait_capture
+  python -m nerf_emitter_tpu.scripts.eval \
+    --load-config "$R4/envgt/sdf-gt-envmap/config.json" \
+    --spp 32 --output-path "$R4/envgt_metrics.json" \
+    > "$R4/logs/envgt_eval.log" 2>&1 || exit 1
+  append_results "sdf-gt-envmap baseline metrics" "$R4/envgt_metrics.json"
+  mark envgt_eval
+fi
+
+# ---- A/B arm: same trained NeRF, fresh SDF, reduced emitter sample
+# schedule (128, 48, 24), equal step budget (VERDICT r3 #3).
+AB_FLAGS=("${TRAIN_FLAGS[@]}" --experiment-name prod4_ab
+  --pipeline.emitter-samples "[128, 48, 24]")
+if ! stage_done ab_run; then
+  wait_capture
+  if [ ! -d "$R4/prod4_ab/sdf-nerfacto/checkpoints/2000" ]; then
+    rm -rf "$R4/prod4_ab"
+    mkdir -p "$R4/prod4_ab/sdf-nerfacto"
+    cp -r "$R4/prod4/sdf-nerfacto/checkpoints" "$R4/prod4_ab/sdf-nerfacto/"
+    # rename the prod checkpoint below the takeover step: orbax silently
+    # skips saves at steps <= latest (advisor r3 high), and the trainer
+    # resumes takeover from step 2000 with --load-nerf-only
+    latest=$(ls "$R4/prod4_ab/sdf-nerfacto/checkpoints" | sort -n | tail -1)
+    [ "$latest" != "2000" ] && mv "$R4/prod4_ab/sdf-nerfacto/checkpoints/$latest" \
+      "$R4/prod4_ab/sdf-nerfacto/checkpoints/2000"
+  fi
+  echo "=== ab_run attempt $(date +%H:%M:%S) ===" >> "$R4/logs/ab_run.log"
+  timeout 10800 python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
+    "${AB_FLAGS[@]}" --resume --load-nerf-only --override-start-step 2000 \
+    >> "$R4/logs/ab_run.log" 2>&1 || exit 1
+  mark ab_run
+fi
+if ! stage_done ab_eval; then
+  wait_capture
+  python -m nerf_emitter_tpu.scripts.eval \
+    --load-config "$R4/prod4_ab/sdf-nerfacto/config.json" \
+    --spp 32 --output-path "$R4/e2e_metrics_ab.json" \
+    > "$R4/logs/ab_eval.log" 2>&1 || exit 1
+  append_results "A/B reduced emitter schedule: NVS" "$R4/e2e_metrics_ab.json"
+  mark ab_eval
+fi
+if ! stage_done ab_relight; then
+  wait_capture
+  python -m nerf_emitter_tpu.scripts.eval \
+    --load-config "$R4/prod4_ab/sdf-nerfacto/config.json" \
+    --emitter-path "$R3/env_relit.exr" --test-data "$R3/sceneB_relit" \
+    --spp 32 --output-path "$R4/relight_metrics_ab.json" \
+    > "$R4/logs/ab_relight.log" 2>&1 || exit 1
+  append_results "A/B reduced emitter schedule: relighting" "$R4/relight_metrics_ab.json"
+  mark ab_relight
+fi
+if ! stage_done ab_chamfer; then
+  {
+    JAX_PLATFORMS=cpu python -m nerf_emitter_tpu.scripts.exporter mi-marching-cubes \
+      --load-config "$R4/prod4_ab/sdf-nerfacto/config.json" \
+      --resolution 192 --output-dir "$R4/ab_mesh" &&
+    JAX_PLATFORMS=cpu python -m nerf_emitter_tpu.scripts.chamfer \
+      "$R4/ab_mesh/mesh.ply" "$R3/gt_mesh/mesh.ply" \
+      --output-path "$R4/chamfer_ab.json"
+  } > "$R4/logs/ab_chamfer.log" 2>&1 || exit 1
+  append_results "A/B reduced emitter schedule: chamfer" "$R4/chamfer_ab.json"
+  mark ab_chamfer
+fi
+
+# ---- freq-vs-hash quality A/B (VERDICT r3 #6): 2 scenes x 2 impls
+if ! stage_done scene_v; then
+  wait_capture
+  python -m nerf_emitter_tpu.scripts.gen_data --object sphere --albedo const \
+    --n-views 40 --width 96 --height 96 --spp 32 --path-type random \
+    --resume --out "$R4/scene_v" > "$R4/logs/scene_v.log" 2>&1 || exit 1
+  mark scene_v
+fi
+for scene in "$R3/sceneB" "$R4/scene_v"; do
+  sname=$(basename "$scene")
+  for impl in freq hash; do
+    name="fh_${sname}_${impl}"
+    if ! stage_done "$name"; then
+      wait_capture
+      timeout 7200 python -m nerf_emitter_tpu.scripts.train hdr-nerfacto \
+        --datacfg.data "$scene" --experiment-name "${name}" --output-dir "$R4/fh" \
+        --model.implementation "${impl}" --train.num-rays-per-batch 16384 \
+        --max-num-iterations 2000 --train.max-steps 2000 \
+        --steps-per-save 2000 --steps-per-eval-image 4000 \
+        > "$R4/logs/${name}.log" 2>&1 || exit 1
+      python -m nerf_emitter_tpu.scripts.eval \
+        --load-config "$R4/fh/${name}/hdr-nerfacto/config.json" \
+        --spp 1 --output-path "$R4/${name}_metrics.json" \
+        >> "$R4/logs/${name}.log" 2>&1 || exit 1
+      append_results "freq-vs-hash: ${name}" "$R4/${name}_metrics.json"
+      mark "$name"
+    fi
+  done
+done
+
+# ---- real-capture chain (turntable + occlusion + hdr->sdf chaining)
+if ! stage_done tt_scene; then
+  wait_capture
+  python -m nerf_emitter_tpu.scripts.gen_data --object composite --albedo bands \
+    --n-views 60 --width 128 --height 128 --spp 32 --n-rotations 3 \
+    --path-type spiral --resume --out "$R4/scene_tt" \
+    > "$R4/logs/tt_scene.log" 2>&1 || exit 1
+  mark tt_scene
+fi
+if ! stage_done tt_chain; then
+  wait_capture
+  PRETRAIN=800 TOTAL=880 OUT="$R4/tt" EXPORT_RES=128 RENDER_SPP=16 \
+    bash scripts/real/ours/run.sh "$R4/scene_tt" tt \
+    > "$R4/logs/tt_chain.log" 2>&1 || exit 1
+  tail -50 "$R4/logs/tt_chain.log" > "$R4/logs/tt_chain_tail.log"
+  mark tt_chain
+fi
+
+echo ALL_STAGES_DONE

@@ -40,6 +40,9 @@ _SLOW_TESTS = {
     "test_hdr_to_sdf_checkpoint_chain",
     "test_resume_past_upsample",
     "test_aggregate_step_runs_and_descends",
+    "test_aggregate_gradient_scale_matches_exact",
+    "test_mean_start_step_gates_accumulation",
+    "test_prod_recipe_improves_past_upsample",
     "test_sdf_inverse_rendering_recovers_shape",
     "test_mean_parameter_tracking_and_swap",
     "test_takeover_step_mesh_parity",
