@@ -49,6 +49,31 @@ TRAIN_FLAGS=(--datacfg.data "$R3/sceneB" --output-dir "$R4"
   --pipeline.batch-size "$E2E_BATCH"
   --steps-per-save 50 --steps-per-eval-image 10000)
 
+# ---- data regen: the 19:28 host reboot wiped outputs/ (untracked).
+# gen_data is seeded (--seed 0 default), so the regenerated GT matches
+# round 3's bit-for-bit; stages are crash-resumable via --resume.
+if ! stage_done sceneB; then
+  wait_capture
+  python -m nerf_emitter_tpu.scripts.gen_data --object composite --albedo bands \
+    --n-views 60 --width 128 --height 128 --spp 32 --path-type random \
+    --resume --out "$R3/sceneB" > "$R4/logs/sceneB.log" 2>&1 || exit 1
+  mark sceneB
+fi
+
+# gt mesh is CPU-only; rebuild it up front so chamfer never blocks on it
+if ! stage_done gt_mesh; then
+  {
+    JAX_PLATFORMS=cpu python - <<PY &&
+import numpy as np
+from nerf_emitter_tpu.renderer.grid3d import composite_sdf_grid
+np.save('$R3/gt_sdf.npy', np.asarray(composite_sdf_grid(129)))
+PY
+    JAX_PLATFORMS=cpu python -m nerf_emitter_tpu.scripts.exporter mi-marching-cubes \
+      --sdf-volume "$R3/gt_sdf.npy" --resolution 192 --output-dir "$R3/gt_mesh"
+  } > "$R4/logs/gt_mesh.log" 2>&1 || exit 1
+  mark gt_mesh
+fi
+
 # ---- the FIXED production E2E at the reference schedule (2000+320)
 if ! stage_done e2e_train; then
   wait_capture
@@ -67,6 +92,22 @@ if ! stage_done e2e_eval; then
     > "$R4/logs/e2e_eval.log" 2>&1 || exit 1
   append_results "E2E NVS metrics (prod4)" "$R4/e2e_metrics.json"
   mark e2e_eval
+fi
+
+# relight GT (rolled envmap) — regenerated post-reboot, same seed as r3
+if ! stage_done relight_gt; then
+  wait_capture
+  python - <<PY || exit 1
+import numpy as np
+from nerf_emitter_tpu.utils import exr
+img = exr.read_exr('$R3/sceneB/env.exr')
+exr.write_exr('$R3/env_relit.exr', np.roll(img[..., :3], img.shape[1] // 2, axis=1))
+PY
+  python -m nerf_emitter_tpu.scripts.gen_data --object composite --albedo bands \
+    --envmap "$R3/env_relit.exr" --n-views 30 --width 128 --height 128 \
+    --spp 32 --path-type random --resume --out "$R3/sceneB_relit" \
+    > "$R4/logs/relight_gt.log" 2>&1 || exit 1
+  mark relight_gt
 fi
 
 if ! stage_done relight_eval; then
