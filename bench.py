@@ -53,6 +53,53 @@ def _sample_schedule() -> tuple:
     return (p0, p1, n)
 
 
+def bench_distilled() -> float:
+    """Throughput of the distilled light-field emitter cache
+    (serving/distill.py) at the bench ray distribution. Weights are
+    random-init (throughput is weight-independent); fidelity is gated
+    separately by the takeover-quality A/B. Enable with
+    NERF_EMITTER_BENCH_DISTILLED=1 — not the reported default until the
+    quality gate flips the pipeline default."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jax import lax
+
+    from nerf_emitter_tpu.serving.distill import (
+        EmitterLightField,
+        make_student_emitter_fn_of,
+    )
+
+    aabb = jnp.asarray([[-0.3, -0.3, -0.3], [0.3, 0.3, 0.3]])
+    module = EmitterLightField(pos_scale=0.78)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (NUM_RAYS, 3), minval=0.35, maxval=0.65)
+    d = jax.random.normal(jax.random.PRNGKey(1), (NUM_RAYS, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    emb = jnp.zeros((8, 3))
+    sparams = jax.jit(module.init)(key, x[:8], d[:8], emb[:, :0])
+    fn = make_student_emitter_fn_of(
+        module, sparams, scene_scale=1.0, object_aabb=aabb
+    )({"params": {"field": {}}})
+
+    @jax.jit
+    def emitter_query(x, d):
+        def body(carry, _):
+            out = fn(x + carry * 1e-30, d)
+            return out[0, 0], out
+
+        _, outs = lax.scan(body, jnp.float32(0.0), None, length=N_ITERS)
+        return outs[-1]
+
+    np.asarray(emitter_query(x, d))
+    t0 = time.perf_counter()
+    out = emitter_query(x, d)
+    np.asarray(out)
+    dt = time.perf_counter() - t0
+    return NUM_RAYS * N_ITERS / dt
+
+
 def bench_implementation(implementation: str) -> float:
     import jax
     import jax.numpy as jnp
@@ -151,6 +198,22 @@ def main():
     # measurement sees an idle chip (round-2: queue contention depressed
     # the driver-captured number by ~8%)
     with capture_lock.capture_window("bench"):
+        if os.environ.get("NERF_EMITTER_BENCH_DISTILLED") == "1":
+            rays = bench_distilled()
+            print(
+                json.dumps(
+                    {
+                        "metric": "emitter_query_rays_per_sec_per_chip[distilled_lf]",
+                        "value": round(rays, 1),
+                        "unit": "rays/s",
+                        "vs_baseline": round(
+                            rays / A100_EMITTER_QUERY_RAYS_PER_SEC_EST, 3
+                        ),
+                        "methodology": "on_device_scan_chain",
+                    }
+                )
+            )
+            return
         for impl in ("freq", "hash"):
             try:
                 results[impl] = bench_implementation(impl)

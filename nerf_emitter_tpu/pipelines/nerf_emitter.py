@@ -279,6 +279,15 @@ class NerfEmitterPipelineConfig:
     # the principled choice at Mitsuba-scale spp (256) or without masks.
     reparam: str = "soft"
     warp_secondary: bool = False
+    # Distill the frozen NeRF emitter into a light-field MLP cache at
+    # takeover (serving/distill.py): one ~1M-MAC MXU evaluation per query
+    # instead of the full ~13M-MAC sampled evaluation. detach semantics,
+    # appearance embeddings and turntable rotations are preserved; the
+    # proposal/guiding rebuild keeps querying the full NeRF. Default off
+    # until the takeover-quality A/B gates it (same protocol as
+    # emitter_samples).
+    distill_emitter: bool = False
+    distill_steps: int = 2000
 
 
 class NerfEmitterPipeline:
@@ -480,10 +489,11 @@ class NerfEmitterPipeline:
         emitter_for_camera = None
         if not use_env:
             scene = self.build_emitter_proposal(key, scene)
-            emitter_fn = self._emitter_fn_of(self.nerf_state.params)
+            fn_of = self._maybe_distilled_fn_of(jax.random.fold_in(key, 7))
+            emitter_fn = fn_of(self.nerf_state.params)
             # per-image closure: appearance embedding + turntable rotation
             # (the reference's scatter_camera_idx broadcast + apply_sdf_scene)
-            emitter_for_camera = lambda cam_idx, rot_id: self._emitter_fn_of(
+            emitter_for_camera = lambda cam_idx, rot_id: fn_of(
                 self.nerf_state.params, camera_index=cam_idx, rot_id=rot_id
             )
         # occlusion/background layers rendered ONCE at takeover (reference
@@ -512,6 +522,49 @@ class NerfEmitterPipeline:
         self._takeover_size = self.config.takeover_image_size
         self._takeover_spp = self.config.spp
         self._rebuild_sdf_step_fn()
+
+    def _maybe_distilled_fn_of(self, key: jax.Array):
+        """The emitter_fn_of the takeover should serve from: the full
+        megakernel path, or (config.distill_emitter) a light-field student
+        freshly distilled from the frozen NeRF (serving/distill.py). The
+        fit is logged and kept on `self.distill_fidelity`."""
+        if not self.config.distill_emitter:
+            return self._emitter_fn_of
+        from ..serving.distill import (
+            DistillConfig,
+            distill_emitter,
+            make_student_emitter_fn_of,
+        )
+
+        n_rot = (
+            int(self.rotater.transforms.shape[0])
+            if self.rotater is not None
+            else 1
+        )
+        module, sparams, fidelity = distill_emitter(
+            key,
+            self.nerf_state.params,
+            self._emitter_fn_of,
+            scene_scale=self.config.scene_scale,
+            object_aabb=self.object_aabb,
+            num_cameras=int(self.model.num_cameras),
+            rotater=self.rotater,
+            n_rotations=n_rot,
+            config=DistillConfig(steps=self.config.distill_steps),
+        )
+        self.distill_fidelity = fidelity
+        print(
+            "distilled emitter cache: "
+            f"relRMS(linear)={fidelity['relrms_linear']:.4f} "
+            f"RMSE(log)={fidelity['rmse_log']:.4f}"
+        )
+        return make_student_emitter_fn_of(
+            module,
+            sparams,
+            scene_scale=self.config.scene_scale,
+            object_aabb=self.object_aabb,
+            rotater=self.rotater,
+        )
 
     def _render_occlusion_layers(self):
         """Render the foreground-occluder / background layers from the
@@ -591,8 +644,11 @@ class NerfEmitterPipeline:
         emitter_fn = None
         emitter_for_camera = None
         if not use_env:
-            emitter_fn = self._emitter_fn_of(self.nerf_state.params)
-            emitter_for_camera = lambda cam_idx, rot_id: self._emitter_fn_of(
+            # re-distill on resume: the cache is a cheap deterministic
+            # function of the restored (frozen) NeRF params
+            fn_of = self._maybe_distilled_fn_of(jax.random.fold_in(key, 7))
+            emitter_fn = fn_of(self.nerf_state.params)
+            emitter_for_camera = lambda cam_idx, rot_id: fn_of(
                 self.nerf_state.params, camera_index=cam_idx, rot_id=rot_id
             )
         if self.config.use_occlusion:

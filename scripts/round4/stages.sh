@@ -211,6 +211,66 @@ if ! stage_done ab_chamfer; then
   mark ab_chamfer
 fi
 
+# ---- distilled-emitter quality A/B: same trained NeRF, fresh SDF arm
+# served by the light-field cache (serving/distill.py). Decides whether
+# distill_emitter becomes the sdf-nerfacto default (the >=5x/chip lever).
+DL_FLAGS=("${TRAIN_FLAGS[@]}" --experiment-name prod4_dl
+  --pipeline.distill-emitter true)
+if ! stage_done dl_run; then
+  wait_capture
+  if [ ! -d "$R4/prod4_dl/sdf-nerfacto/checkpoints/2000" ]; then
+    rm -rf "$R4/prod4_dl"
+    mkdir -p "$R4/prod4_dl/sdf-nerfacto"
+    cp -r "$R4/prod4/sdf-nerfacto/checkpoints" "$R4/prod4_dl/sdf-nerfacto/"
+    latest=$(ls "$R4/prod4_dl/sdf-nerfacto/checkpoints" | sort -n | tail -1)
+    [ "$latest" != "2000" ] && mv "$R4/prod4_dl/sdf-nerfacto/checkpoints/$latest" \
+      "$R4/prod4_dl/sdf-nerfacto/checkpoints/2000"
+  fi
+  echo "=== dl_run attempt $(date +%H:%M:%S) ===" >> "$R4/logs/dl_run.log"
+  timeout 10800 python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
+    "${DL_FLAGS[@]}" --resume --load-nerf-only --override-start-step 2000 \
+    >> "$R4/logs/dl_run.log" 2>&1 || exit 1
+  mark dl_run
+fi
+if ! stage_done dl_eval; then
+  wait_capture
+  python -m nerf_emitter_tpu.scripts.eval \
+    --load-config "$R4/prod4_dl/sdf-nerfacto/config.json" \
+    --spp 32 --output-path "$R4/e2e_metrics_dl.json" \
+    > "$R4/logs/dl_eval.log" 2>&1 || exit 1
+  append_results "A/B distilled emitter: NVS" "$R4/e2e_metrics_dl.json"
+  mark dl_eval
+fi
+if ! stage_done dl_relight; then
+  wait_capture
+  python -m nerf_emitter_tpu.scripts.eval \
+    --load-config "$R4/prod4_dl/sdf-nerfacto/config.json" \
+    --emitter-path "$R3/env_relit.exr" --test-data "$R3/sceneB_relit" \
+    --spp 32 --output-path "$R4/relight_metrics_dl.json" \
+    > "$R4/logs/dl_relight.log" 2>&1 || exit 1
+  append_results "A/B distilled emitter: relighting" "$R4/relight_metrics_dl.json"
+  mark dl_relight
+fi
+if ! stage_done dl_chamfer; then
+  {
+    JAX_PLATFORMS=cpu python -m nerf_emitter_tpu.scripts.exporter mi-marching-cubes \
+      --load-config "$R4/prod4_dl/sdf-nerfacto/config.json" \
+      --resolution 192 --output-dir "$R4/dl_mesh" &&
+    JAX_PLATFORMS=cpu python -m nerf_emitter_tpu.scripts.chamfer \
+      "$R4/dl_mesh/mesh.ply" "$R3/gt_mesh/mesh.ply" \
+      --output-path "$R4/chamfer_dl.json"
+  } > "$R4/logs/dl_chamfer.log" 2>&1 || exit 1
+  append_results "A/B distilled emitter: chamfer" "$R4/chamfer_dl.json"
+  mark dl_chamfer
+fi
+if ! stage_done dl_bench; then
+  wait_capture
+  NERF_EMITTER_BENCH_DISTILLED=1 python bench.py \
+    > "$R4/bench_distilled.json" 2>/dev/null || exit 1
+  append_results "Distilled emitter serving throughput" "$R4/bench_distilled.json"
+  mark dl_bench
+fi
+
 # ---- freq-vs-hash quality A/B (VERDICT r3 #6): 2 scenes x 2 impls
 if ! stage_done scene_v; then
   wait_capture

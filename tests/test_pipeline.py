@@ -129,6 +129,30 @@ def test_two_phase_sdf_nerfacto(tiny_setup):
     assert np.isfinite(np.asarray(out["rgb"])).all()
 
 
+@pytest.mark.slow
+def test_two_phase_distilled_emitter(tiny_setup):
+    """distill_emitter=True: takeover distills the light-field cache
+    (serving/distill.py) and still trains to finite metrics."""
+    dataset, model, train_cfg, opt_cfg = tiny_setup
+    pipe = NerfEmitterPipeline(
+        _pipe_config(guiding_type="vmf", distill_emitter=True, distill_steps=8),
+        model, train_cfg, opt_cfg, dataset,
+        render_config=RenderConfig(trace=SphereTraceConfig(max_steps=16, t_max=3.0)),
+    )
+    pipe.guiding.downscale = 8
+    pipe.guiding.n_clusters = 4
+    pipe.guiding.max_points = 256
+    key = jax.random.PRNGKey(0)
+    metrics = []
+    for step in range(5):  # 3 nerf + 2 takeover
+        key, k = jax.random.split(key)
+        metrics.append(pipe.train_iteration(step, k))
+    assert int(pipe.sdf_state.step) == 2
+    for m in metrics:
+        assert np.isfinite(float(m["loss"])), m
+    assert np.isfinite(pipe.distill_fidelity["rmse_log"])
+
+
 def test_sdf_gt_envmap_pipeline(tiny_setup, tmp_path):
     dataset, model, train_cfg, opt_cfg = tiny_setup
     # GT envmap on disk
