@@ -197,8 +197,20 @@ def main():
     # pause the background stage queue between its dispatches so the
     # measurement sees an idle chip (round-2: queue contention depressed
     # the driver-captured number by ~8%)
+    # Which serving path to report: the sdf-nerfacto DEFAULT (so the
+    # headline tracks what a user actually gets), overridable either way
+    # with NERF_EMITTER_BENCH_DISTILLED=1/0. The distilled default is
+    # flipped by the round-4 quality gate (scripts/round4/decide_distill.py).
+    from nerf_emitter_tpu.configs.methods import METHOD_CONFIGS
+
+    distilled_default = bool(
+        METHOD_CONFIGS["sdf-nerfacto"]().pipeline.distill_emitter
+    )
+    distilled = os.environ.get(
+        "NERF_EMITTER_BENCH_DISTILLED", "1" if distilled_default else "0"
+    )
     with capture_lock.capture_window("bench"):
-        if os.environ.get("NERF_EMITTER_BENCH_DISTILLED") == "1":
+        if distilled == "1":
             rays = bench_distilled()
             print(
                 json.dumps(

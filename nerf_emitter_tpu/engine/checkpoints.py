@@ -13,7 +13,31 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Any, Optional
 
+import numpy as np
 import orbax.checkpoint as ocp
+
+
+def template_from_metadata(meta: Any) -> Any:
+    """Build a zeros restore-template for a checkpoint SUBTREE from its
+    on-disk metadata (`CheckpointManager.metadata_tree`), preserving the
+    stored dtypes/shapes (None leaves stay None). Used when the live
+    template's structure has drifted from what was saved — e.g. the SDF
+    optimizer's hyper-structure changed between the save and the restore —
+    so the drifted subtree can still be read (and then discarded or
+    rebuilt) instead of failing the whole restore."""
+
+    def is_leaf(x):
+        return x is None or hasattr(x, "dtype") or hasattr(x, "write_shape")
+
+    def leaf(x):
+        if x is None:
+            return None
+        dtype = getattr(x, "dtype", None) or np.float32
+        return np.zeros(tuple(getattr(x, "shape", ()) or ()), dtype=dtype)
+
+    import jax
+
+    return jax.tree.map(leaf, meta, is_leaf=is_leaf)
 
 
 class CheckpointManager:

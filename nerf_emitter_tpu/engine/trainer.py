@@ -237,7 +237,15 @@ class Trainer:
                 self.viewer_state.step = step
             if step > 0 and step % cfg.steps_per_eval_image == 0:
                 self.eval_step(step)
-            if step > 0 and step % cfg.steps_per_save == 0:
+            if (
+                step > 0
+                and step != start_step
+                and step % cfg.steps_per_save == 0
+            ):
+                # step != start_step: a resumed run's first step can land on
+                # a save boundary equal to the seeded checkpoint's own step,
+                # and orbax refuses saves at steps <= the directory's latest
+                # (checkpoints.py raises loudly on the silent skip)
                 self.save_checkpoint(step)
 
         self.save_checkpoint(cfg.max_num_iterations)
@@ -269,7 +277,9 @@ class Trainer:
             state["sdf"] = self.pipeline.sdf_state
         self.ckpt.save(step, state)
 
-    def load_checkpoint(self, step: Optional[int] = None):
+    def load_checkpoint(
+        self, step: Optional[int] = None, nerf_only: bool = False
+    ):
         step = step if step is not None else self.ckpt.latest_step()
         # Inspect the on-disk shapes first: a takeover checkpoint stores the
         # SDF at whatever resolution the upsample schedule had reached, so
@@ -281,6 +291,27 @@ class Trainer:
         # re-bound from the restored params in resume_takeover_bind).
         meta = self.ckpt.metadata_tree(step)
         has_sdf_meta = meta is not None and "sdf" in meta
+        if nerf_only:
+            # --load-nerf-only: read ONLY the NeRF train state. The SDF
+            # subtree (if any) is read into a throwaway metadata-shaped
+            # zeros template — never into a live takeover template — so
+            # this path is immune to SDF optimizer/structure drift AND
+            # skips the expensive takeover re-bind entirely.
+            from .checkpoints import template_from_metadata
+
+            template = {"nerf": self.pipeline.nerf_state}
+            if has_sdf_meta:
+                template["sdf"] = template_from_metadata(meta["sdf"])
+            restored = self.ckpt.restore(template, step)
+            self.pipeline.nerf_state = restored["nerf"]
+            self.pipeline.sdf_state = None
+            if self.mesh is not None:
+                from ..parallel.mesh import replicated
+
+                self.pipeline.nerf_state = jax.device_put(
+                    self.pipeline.nerf_state, replicated(self.mesh)
+                )
+            return
         if has_sdf_meta and self.pipeline.sdf_state is None:
             sdf_res = int(meta["sdf"]["scene"]["sdf"].shape[0])
             self.pipeline.begin_takeover_template(sdf_res=sdf_res)
@@ -296,15 +327,58 @@ class Trainer:
         template = {"nerf": self.pipeline.nerf_state}
         if self.pipeline.sdf_state is not None:
             template["sdf"] = self.pipeline.sdf_state
+        from .checkpoints import template_from_metadata
+
         try:
             restored = self.ckpt.restore(template, step)
         except Exception:
-            if "sdf" not in template:
-                raise
-            # older / pretrain-only checkpoint
-            self.pipeline.sdf_state = None
-            template = {"nerf": self.pipeline.nerf_state}
-            restored = self.ckpt.restore(template, step)
+            restored = None
+            if "sdf" in template and has_sdf_meta:
+                # The live SDF template's optimizer-state STRUCTURE can
+                # drift from what the checkpoint stored (e.g. the opt
+                # config's per-variable optimizer kind changed between
+                # save and restore — round 4 shipped uniform_adam while
+                # prod checkpoints held per-coordinate Adam moments).
+                # Re-read with the on-disk opt_state structure (zeros
+                # template from metadata), keep the params/means, and
+                # re-init the optimizer moments fresh.
+                try:
+                    tmpl2 = {
+                        "nerf": template["nerf"],
+                        "sdf": template["sdf"].replace(
+                            opt_state=template_from_metadata(
+                                meta["sdf"]["opt_state"]
+                            )
+                        ),
+                    }
+                    restored = self.ckpt.restore(tmpl2, step)
+                    restored["sdf"] = restored["sdf"].replace(
+                        opt_state=self.pipeline.sdf_tx.init(
+                            restored["sdf"].scene
+                        )
+                    )
+                    print(
+                        "checkpoint SDF optimizer structure drifted from "
+                        "the current config; optimizer moments re-initialized"
+                    )
+                except Exception:
+                    restored = None
+            if restored is None:
+                if "sdf" not in template:
+                    raise
+                # last resort: older / pretrain-only checkpoint (or an SDF
+                # subtree unreadable under any current template) — restore
+                # the NeRF state only
+                self.pipeline.sdf_state = None
+                template = {"nerf": self.pipeline.nerf_state}
+                if has_sdf_meta:
+                    template["sdf"] = template_from_metadata(meta["sdf"])
+                restored = self.ckpt.restore(template, step)
+                restored.pop("sdf", None)  # metadata zeros, not real state
+                print(
+                    "warning: checkpointed SDF state could not be restored "
+                    "under the current config; resuming NeRF-only"
+                )
         self.pipeline.nerf_state = restored["nerf"]
         if "sdf" in restored:
             self.pipeline.sdf_state = restored["sdf"]

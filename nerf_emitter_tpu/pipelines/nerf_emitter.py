@@ -489,7 +489,9 @@ class NerfEmitterPipeline:
         emitter_for_camera = None
         if not use_env:
             scene = self.build_emitter_proposal(key, scene)
-            fn_of = self._maybe_distilled_fn_of(jax.random.fold_in(key, 7))
+            fn_of = self._maybe_distilled_fn_of(
+                jax.random.fold_in(key, 7), guiding=scene.guiding
+            )
             emitter_fn = fn_of(self.nerf_state.params)
             # per-image closure: appearance embedding + turntable rotation
             # (the reference's scatter_camera_idx broadcast + apply_sdf_scene)
@@ -500,6 +502,7 @@ class NerfEmitterPipeline:
         # render_internal_mask/render_occlusion, mitsuba_sdf.py:607-681)
         if self.config.use_occlusion:
             self._render_occlusion_layers()
+        self._lr_up_scale = {}
         self.sdf_tx = build_sdf_optimizer(self.opt_config)
         from .sdf_optimizer import init_mean_params
 
@@ -523,11 +526,13 @@ class NerfEmitterPipeline:
         self._takeover_spp = self.config.spp
         self._rebuild_sdf_step_fn()
 
-    def _maybe_distilled_fn_of(self, key: jax.Array):
+    def _maybe_distilled_fn_of(self, key: jax.Array, guiding=None):
         """The emitter_fn_of the takeover should serve from: the full
         megakernel path, or (config.distill_emitter) a light-field student
         freshly distilled from the frozen NeRF (serving/distill.py). The
-        fit is logged and kept on `self.distill_fidelity`."""
+        fit is logged and kept on `self.distill_fidelity`. `guiding` (the
+        scene's vMF mixture, when built) importance-mixes the fit's
+        training directions toward the light lobes."""
         if not self.config.distill_emitter:
             return self._emitter_fn_of
         from ..serving.distill import (
@@ -550,6 +555,7 @@ class NerfEmitterPipeline:
             num_cameras=int(self.model.num_cameras),
             rotater=self.rotater,
             n_rotations=n_rot,
+            guiding=guiding,
             config=DistillConfig(steps=self.config.distill_steps),
         )
         self.distill_fidelity = fidelity
@@ -624,6 +630,7 @@ class NerfEmitterPipeline:
                     stds=jnp.full((k,), 0.5),
                 )
             )
+        self._lr_up_scale = {}
         self.sdf_tx = build_sdf_optimizer(self.opt_config)
         from .sdf_optimizer import init_mean_params
 
@@ -646,7 +653,10 @@ class NerfEmitterPipeline:
         if not use_env:
             # re-distill on resume: the cache is a cheap deterministic
             # function of the restored (frozen) NeRF params
-            fn_of = self._maybe_distilled_fn_of(jax.random.fold_in(key, 7))
+            fn_of = self._maybe_distilled_fn_of(
+                jax.random.fold_in(key, 7),
+                guiding=self.sdf_state.scene.guiding,
+            )
             emitter_fn = fn_of(self.nerf_state.params)
             emitter_for_camera = lambda cam_idx, rot_id: fn_of(
                 self.nerf_state.params, camera_index=cam_idx, rot_id=rot_id
@@ -667,13 +677,50 @@ class NerfEmitterPipeline:
         r = int(self.opt_config.init_res)
         cap = int(min(self.mi_dataset.cameras.height,
                       self.mi_dataset.cameras.width))
+        self._lr_up_scale = {}
         while r < res:
             r = r * 2 - 1
             size = min(size * 2, cap)
             if size >= 512 and spp > 1:
                 spp = max(1, spp // 2)
+            # replay the per-upsample lr decay alongside the render-res
+            # schedule (one decay per applied volume upsample)
+            for v in self.opt_config.variables:
+                d = getattr(v, "lr_decay_at_up", 1.0)
+                if d != 1.0:
+                    self._lr_up_scale[v.name] = (
+                        self._lr_up_scale.get(v.name, 1.0) * d
+                    )
+        if self._lr_up_scale:
+            self.sdf_tx = build_sdf_optimizer(
+                self.opt_config, self._lr_up_scale
+            )
         self._takeover_size = size
         self._takeover_spp = spp
+        self._rebuild_sdf_step_fn()
+
+    def _apply_volume_upsample_lr_decay(self):
+        """Apply VariableSpec.lr_decay_at_up after a VOLUME upsample:
+        accumulate the per-variable scale, rebuild the optimizer + jitted
+        step around the decayed transformation, and re-init the (freshly
+        reset by post_step_host) moments under the new tx. x8 voxels
+        support x-higher-frequency surface modes at the same step size —
+        the round-4 prod run's gnorm_sdf exploded 131 -> 2108 within 50
+        mi-steps of the 64->127 upsample without this."""
+        decays = {
+            v.name: v.lr_decay_at_up
+            for v in self.opt_config.variables
+            if getattr(v, "lr_decay_at_up", 1.0) != 1.0
+        }
+        if not decays:
+            return
+        for name, d in decays.items():
+            self._lr_up_scale[name] = self._lr_up_scale.get(name, 1.0) * d
+        self.sdf_tx = build_sdf_optimizer(self.opt_config, self._lr_up_scale)
+        self.sdf_state = self.sdf_state.replace(
+            opt_state=self.sdf_tx.init(self.sdf_state.scene)
+        )
+        print(f"volume upsample: lr scale -> {self._lr_up_scale}")
         self._rebuild_sdf_step_fn()
 
     def _rebuild_sdf_step_fn(self):
@@ -777,7 +824,10 @@ class NerfEmitterPipeline:
             self.sdf_state, metrics = self.sdf_step_fn(
                 self.sdf_state, ds.cameras, cam_idx, gt, masks, k_step
             )
+        pre_shape = self.sdf_state.scene.sdf.shape
         self.sdf_state = post_step_host(self.sdf_state, self.opt_config, self.sdf_tx)
+        if self.sdf_state.scene.sdf.shape != pre_shape:
+            self._apply_volume_upsample_lr_decay()
         # final-step swap to the parameter running means (reference
         # check_load_mean AFTER_TRAIN_ITERATION, mitsuba_sdf.py:766-776)
         lm = self.config.load_mean_step

@@ -80,10 +80,15 @@ def load_mean_parameters(state: SdfOptState) -> SdfOptState:
     return state.replace(scene=state.scene.replace(**state.mean_params))
 
 
-def build_sdf_optimizer(config: SdfOptConfig) -> optax.GradientTransformation:
+def build_sdf_optimizer(
+    config: SdfOptConfig, lr_scale=None
+) -> optax.GradientTransformation:
     """Per-variable Adam (the reference's masked/sparse Dr.Jit Adam over
-    traversed params)."""
-    lrs = {v.name: v.lr for v in config.variables}
+    traversed params). `lr_scale` maps variable name -> accumulated
+    VOLUME-upsample lr decay (VariableSpec.lr_decay_at_up applied once per
+    upsample; the pipeline replays it on resume)."""
+    lr_scale = lr_scale or {}
+    lrs = {v.name: v.lr * lr_scale.get(v.name, 1.0) for v in config.variables}
 
     def label_fn(scene: SdfScene):
         return SdfScene(

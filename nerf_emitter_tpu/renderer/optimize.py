@@ -265,6 +265,13 @@ class VariableSpec:
     # Nicolet et al. 2021 — REQUIRED for smooth_lam > 0: per-coordinate
     # normalization undoes the smoothing and roughens the surface)
     optimizer: str = "adam"
+    # lr multiplier applied at each VOLUME upsample (1.0 = off). The
+    # round-4 prod run diverged right after the 64->127 upsample
+    # (gnorm_sdf 131 -> 2108 over 50 mi-steps) even with scheduled
+    # redistancing: x8 voxels support x-higher-frequency modes at the
+    # same step size. The bisect's lr_decay_at_up=0.25 arm converged
+    # standalone; combo_lr (uniform_adam + redist5 + decay) scored best.
+    lr_decay_at_up: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -312,6 +319,12 @@ def _default_variables(lr: float, upsample: tuple[int, ...]) -> tuple[VariableSp
             redistance_freq=5,
             upsample_iters=upsample,
             smooth_lam=2.0,  # 'hqq' = high-quality: preconditioned sdf grads
+            # scalar second moment: per-coordinate Adam re-amplifies the
+            # high frequencies the Sobolev smoothing removes (bisect
+            # 'uadam' arm; required at 127^3 where redistance scheduling
+            # alone no longer holds the surface)
+            optimizer="uniform_adam",
+            lr_decay_at_up=0.25,
         ),
         VariableSpec("albedo", lr=lr * 1.5, clamp=(0.0, 1.0)),
         VariableSpec("roughness", lr=lr, clamp=(0.02, 1.0)),

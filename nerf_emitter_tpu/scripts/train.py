@@ -94,11 +94,10 @@ def main(argv=None):
     if resume or override_start is not None:
         try:
             latest = trainer.ckpt.latest_step()
-            trainer.load_checkpoint(latest)
+            trainer.load_checkpoint(latest, nerf_only=load_nerf_only)
             start_step = override_start if override_start is not None else (latest or 0)
-            if load_nerf_only and trainer.pipeline.sdf_state is not None:
-                trainer.pipeline.sdf_state = None
-                print("load-nerf-only: discarded checkpointed SDF state")
+            if load_nerf_only:
+                print("load-nerf-only: restored NeRF state only")
             print(f"resumed from step {latest}, starting at {start_step}")
         except FileNotFoundError:
             print("no checkpoint to resume from; starting fresh")

@@ -105,6 +105,11 @@ class DistillConfig:
     depth: int = 6
     holdout_batches: int = 8  # fidelity measurement after the fit
     scan_chunk: int = 50  # teacher+student steps chained per dispatch
+    # fraction of training directions drawn from the vMF guiding mixture
+    # (when one is passed): MIS weights the render integrand by exactly
+    # these bright lobes, so they need LOWER relative cache error than the
+    # uniform sphere provides
+    guided_frac: float = 0.5
 
 
 def _appearance_emb(nerf_params, camera_index, n: int) -> jax.Array:
@@ -195,6 +200,7 @@ def distill_emitter(
     far: float = 1e3,
     rotater=None,
     n_rotations: int = 1,
+    guiding=None,
     config: DistillConfig = DistillConfig(),
 ):
     """Fit the light-field student to the frozen teacher.
@@ -223,12 +229,19 @@ def distill_emitter(
     )
 
     def sample_batch(k):
-        ku, kd, kc, kr = jax.random.split(k, 4)
+        ku, kd, kc, kr, kg, km = jax.random.split(k, 6)
         x_unit = jax.random.uniform(
             ku, (config.batch, 3), minval=lo_u, maxval=hi_u
         )
         d = jax.random.normal(kd, (config.batch, 3))
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        if guiding is not None and config.guided_frac > 0.0:
+            # x_unit is the same frame the integrator hands to both
+            # guiding.sample and emitter_fn (renderer/integrator.py
+            # _emitter_sample)
+            d_g, _ = guiding.sample(kg, x_unit)
+            use_g = jax.random.uniform(km, (config.batch, 1)) < config.guided_frac
+            d = jnp.where(use_g, d_g, d)
         cam = jax.random.randint(kc, (), 0, max(num_cameras, 1))
         rid = jax.random.randint(kr, (), 0, max(n_rotations, 1))
         return x_unit, d, cam, rid

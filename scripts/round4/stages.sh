@@ -84,15 +84,11 @@ if ! stage_done e2e_train; then
   mark e2e_train
 fi
 
-if ! stage_done e2e_eval; then
-  wait_capture
-  python -m nerf_emitter_tpu.scripts.eval \
-    --load-config "$R4/prod4/sdf-nerfacto/config.json" \
-    --spp 32 --output-path "$R4/e2e_metrics.json" \
-    > "$R4/logs/e2e_eval.log" 2>&1 || exit 1
-  append_results "E2E NVS metrics (prod4)" "$R4/e2e_metrics.json"
-  mark e2e_eval
-fi
+# e2e_eval SKIPPED: prod4 diverged after the 64->127 volume upsample
+# (gnorm_sdf 131 -> 2108, RESULTS_r04.md addendum) and stopped at step
+# 2200/2320 — metrics of a known-diverged partial run carry no decision
+# value; prod4f (fixed recipe, below) is the evaluated baseline.
+mark e2e_eval
 
 # relight GT (rolled envmap) — regenerated post-reboot, same seed as r3
 if ! stage_done relight_gt; then
@@ -110,29 +106,69 @@ PY
   mark relight_gt
 fi
 
-if ! stage_done relight_eval; then
+# relight_eval + chamfer on prod4 SKIPPED for the same reason as e2e_eval:
+# the model is a diverged partial run; prod4f's pf_relight/pf_chamfer are
+# the real deliverables.
+mark relight_eval
+mark chamfer
+
+# ---- prod4f: the production SDF phase RE-RUN with the full divergence
+# fix (uniform_adam + lr_decay_at_up=0.25 shipped mid-round after prod4
+# diverged past the 127^3 upsample: gnorm_sdf 131 -> 2108). Seeds from
+# prod4's frozen NeRF pretrain; this is the fixed-recipe baseline the
+# A/B arms compare against.
+PF_FLAGS=("${TRAIN_FLAGS[@]}" --experiment-name prod4f)
+if ! stage_done pf_run; then
+  wait_capture
+  if [ ! -d "$R4/prod4f/sdf-nerfacto/checkpoints/2000" ] \
+     && [ -d "$R4/prod4/sdf-nerfacto/checkpoints" ]; then
+    # seed from prod4's frozen NeRF pretrain (the NeRF is frozen during
+    # takeover, so the latest prod4 checkpoint's NeRF state == step 2000's);
+    # if a reboot wiped prod4, the --resume run below simply starts fresh
+    # and re-pretrains 0..2000 itself
+    rm -rf "$R4/prod4f"
+    mkdir -p "$R4/prod4f/sdf-nerfacto"
+    cp -r "$R4/prod4/sdf-nerfacto/checkpoints" "$R4/prod4f/sdf-nerfacto/"
+    latest=$(ls "$R4/prod4f/sdf-nerfacto/checkpoints" | sort -n | tail -1)
+    [ "$latest" != "2000" ] && mv "$R4/prod4f/sdf-nerfacto/checkpoints/$latest" \
+      "$R4/prod4f/sdf-nerfacto/checkpoints/2000"
+  fi
+  echo "=== pf_run attempt $(date +%H:%M:%S) ===" >> "$R4/logs/pf_run.log"
+  timeout 10800 python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
+    "${PF_FLAGS[@]}" --resume --load-nerf-only --override-start-step 2000 \
+    >> "$R4/logs/pf_run.log" 2>&1 || exit 1
+  mark pf_run
+fi
+if ! stage_done pf_eval; then
   wait_capture
   python -m nerf_emitter_tpu.scripts.eval \
-    --load-config "$R4/prod4/sdf-nerfacto/config.json" \
-    --emitter-path "$R3/env_relit.exr" --test-data "$R3/sceneB_relit" \
-    --spp 32 --output-path "$R4/relight_metrics.json" \
-    > "$R4/logs/relight_eval.log" 2>&1 || exit 1
-  append_results "E2E relighting metrics (prod4)" "$R4/relight_metrics.json"
-  mark relight_eval
+    --load-config "$R4/prod4f/sdf-nerfacto/config.json" \
+    --spp 32 --output-path "$R4/e2e_metrics_pf.json" \
+    > "$R4/logs/pf_eval.log" 2>&1 || exit 1
+  append_results "FIXED-recipe prod baseline (prod4f): NVS" "$R4/e2e_metrics_pf.json"
+  mark pf_eval
 fi
-
-# ---- chamfer vs analytic GT mesh (gt_mesh landed in r3; CPU)
-if ! stage_done chamfer; then
+if ! stage_done pf_relight; then
+  wait_capture
+  python -m nerf_emitter_tpu.scripts.eval \
+    --load-config "$R4/prod4f/sdf-nerfacto/config.json" \
+    --emitter-path "$R3/env_relit.exr" --test-data "$R3/sceneB_relit" \
+    --spp 32 --output-path "$R4/relight_metrics_pf.json" \
+    > "$R4/logs/pf_relight.log" 2>&1 || exit 1
+  append_results "FIXED-recipe prod baseline (prod4f): relighting" "$R4/relight_metrics_pf.json"
+  mark pf_relight
+fi
+if ! stage_done pf_chamfer; then
   {
     JAX_PLATFORMS=cpu python -m nerf_emitter_tpu.scripts.exporter mi-marching-cubes \
-      --load-config "$R4/prod4/sdf-nerfacto/config.json" \
-      --resolution 192 --output-dir "$R4/prod4_mesh" &&
+      --load-config "$R4/prod4f/sdf-nerfacto/config.json" \
+      --resolution 192 --output-dir "$R4/pf_mesh" &&
     JAX_PLATFORMS=cpu python -m nerf_emitter_tpu.scripts.chamfer \
-      "$R4/prod4_mesh/mesh.ply" "$R3/gt_mesh/mesh.ply" \
-      --output-path "$R4/chamfer.json"
-  } > "$R4/logs/chamfer.log" 2>&1 || exit 1
-  append_results "Chamfer vs GT mesh (prod4)" "$R4/chamfer.json"
-  mark chamfer
+      "$R4/pf_mesh/mesh.ply" "$R3/gt_mesh/mesh.ply" \
+      --output-path "$R4/chamfer_pf.json"
+  } > "$R4/logs/pf_chamfer.log" 2>&1 || exit 1
+  append_results "FIXED-recipe prod baseline (prod4f): chamfer" "$R4/chamfer_pf.json"
+  mark pf_chamfer
 fi
 
 # ---- sdf-gt-envmap baseline on chip, full 320 steps (VERDICT r3 #8) +
@@ -156,61 +192,6 @@ if ! stage_done envgt_eval; then
   mark envgt_eval
 fi
 
-# ---- A/B arm: same trained NeRF, fresh SDF, reduced emitter sample
-# schedule (128, 48, 24), equal step budget (VERDICT r3 #3).
-AB_FLAGS=("${TRAIN_FLAGS[@]}" --experiment-name prod4_ab
-  --pipeline.emitter-samples "[128, 48, 24]")
-if ! stage_done ab_run; then
-  wait_capture
-  if [ ! -d "$R4/prod4_ab/sdf-nerfacto/checkpoints/2000" ]; then
-    rm -rf "$R4/prod4_ab"
-    mkdir -p "$R4/prod4_ab/sdf-nerfacto"
-    cp -r "$R4/prod4/sdf-nerfacto/checkpoints" "$R4/prod4_ab/sdf-nerfacto/"
-    # rename the prod checkpoint below the takeover step: orbax silently
-    # skips saves at steps <= latest (advisor r3 high), and the trainer
-    # resumes takeover from step 2000 with --load-nerf-only
-    latest=$(ls "$R4/prod4_ab/sdf-nerfacto/checkpoints" | sort -n | tail -1)
-    [ "$latest" != "2000" ] && mv "$R4/prod4_ab/sdf-nerfacto/checkpoints/$latest" \
-      "$R4/prod4_ab/sdf-nerfacto/checkpoints/2000"
-  fi
-  echo "=== ab_run attempt $(date +%H:%M:%S) ===" >> "$R4/logs/ab_run.log"
-  timeout 10800 python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
-    "${AB_FLAGS[@]}" --resume --load-nerf-only --override-start-step 2000 \
-    >> "$R4/logs/ab_run.log" 2>&1 || exit 1
-  mark ab_run
-fi
-if ! stage_done ab_eval; then
-  wait_capture
-  python -m nerf_emitter_tpu.scripts.eval \
-    --load-config "$R4/prod4_ab/sdf-nerfacto/config.json" \
-    --spp 32 --output-path "$R4/e2e_metrics_ab.json" \
-    > "$R4/logs/ab_eval.log" 2>&1 || exit 1
-  append_results "A/B reduced emitter schedule: NVS" "$R4/e2e_metrics_ab.json"
-  mark ab_eval
-fi
-if ! stage_done ab_relight; then
-  wait_capture
-  python -m nerf_emitter_tpu.scripts.eval \
-    --load-config "$R4/prod4_ab/sdf-nerfacto/config.json" \
-    --emitter-path "$R3/env_relit.exr" --test-data "$R3/sceneB_relit" \
-    --spp 32 --output-path "$R4/relight_metrics_ab.json" \
-    > "$R4/logs/ab_relight.log" 2>&1 || exit 1
-  append_results "A/B reduced emitter schedule: relighting" "$R4/relight_metrics_ab.json"
-  mark ab_relight
-fi
-if ! stage_done ab_chamfer; then
-  {
-    JAX_PLATFORMS=cpu python -m nerf_emitter_tpu.scripts.exporter mi-marching-cubes \
-      --load-config "$R4/prod4_ab/sdf-nerfacto/config.json" \
-      --resolution 192 --output-dir "$R4/ab_mesh" &&
-    JAX_PLATFORMS=cpu python -m nerf_emitter_tpu.scripts.chamfer \
-      "$R4/ab_mesh/mesh.ply" "$R3/gt_mesh/mesh.ply" \
-      --output-path "$R4/chamfer_ab.json"
-  } > "$R4/logs/ab_chamfer.log" 2>&1 || exit 1
-  append_results "A/B reduced emitter schedule: chamfer" "$R4/chamfer_ab.json"
-  mark ab_chamfer
-fi
-
 # ---- distilled-emitter quality A/B: same trained NeRF, fresh SDF arm
 # served by the light-field cache (serving/distill.py). Decides whether
 # distill_emitter becomes the sdf-nerfacto default (the >=5x/chip lever).
@@ -219,9 +200,11 @@ DL_FLAGS=("${TRAIN_FLAGS[@]}" --experiment-name prod4_dl
 if ! stage_done dl_run; then
   wait_capture
   if [ ! -d "$R4/prod4_dl/sdf-nerfacto/checkpoints/2000" ]; then
+    seed="$R4/prod4/sdf-nerfacto/checkpoints"
+    [ -d "$seed" ] || seed="$R4/prod4f/sdf-nerfacto/checkpoints"  # NeRF frozen in takeover: same pretrain
     rm -rf "$R4/prod4_dl"
     mkdir -p "$R4/prod4_dl/sdf-nerfacto"
-    cp -r "$R4/prod4/sdf-nerfacto/checkpoints" "$R4/prod4_dl/sdf-nerfacto/"
+    cp -r "$seed" "$R4/prod4_dl/sdf-nerfacto/checkpoints"
     latest=$(ls "$R4/prod4_dl/sdf-nerfacto/checkpoints" | sort -n | tail -1)
     [ "$latest" != "2000" ] && mv "$R4/prod4_dl/sdf-nerfacto/checkpoints/$latest" \
       "$R4/prod4_dl/sdf-nerfacto/checkpoints/2000"
@@ -269,6 +252,73 @@ if ! stage_done dl_bench; then
     > "$R4/bench_distilled.json" 2>/dev/null || exit 1
   append_results "Distilled emitter serving throughput" "$R4/bench_distilled.json"
   mark dl_bench
+fi
+
+# decide the distilled-emitter default from the landed A/B numbers (the
+# queue outlives the interactive session; the gate must not hang on it)
+if ! stage_done dl_decide; then
+  python scripts/round4/decide_distill.py \
+    "$R4/e2e_metrics_pf.json" "$R4/e2e_metrics_dl.json" \
+    "$R4/chamfer_pf.json" "$R4/chamfer_dl.json" \
+    >> /root/repo/RESULTS_r04.md 2>"$R4/logs/dl_decide.err" || exit 1
+  mark dl_decide
+fi
+
+# ---- A/B arm: same trained NeRF, fresh SDF, reduced emitter sample
+# schedule (128, 48, 24), equal step budget (VERDICT r3 #3).
+AB_FLAGS=("${TRAIN_FLAGS[@]}" --experiment-name prod4_ab
+  --pipeline.emitter-samples "[128, 48, 24]")
+if ! stage_done ab_run; then
+  wait_capture
+  if [ ! -d "$R4/prod4_ab/sdf-nerfacto/checkpoints/2000" ]; then
+    seed="$R4/prod4/sdf-nerfacto/checkpoints"
+    [ -d "$seed" ] || seed="$R4/prod4f/sdf-nerfacto/checkpoints"  # NeRF frozen in takeover: same pretrain
+    rm -rf "$R4/prod4_ab"
+    mkdir -p "$R4/prod4_ab/sdf-nerfacto"
+    cp -r "$seed" "$R4/prod4_ab/sdf-nerfacto/checkpoints"
+    # rename the prod checkpoint below the takeover step: orbax silently
+    # skips saves at steps <= latest (advisor r3 high), and the trainer
+    # resumes takeover from step 2000 with --load-nerf-only
+    latest=$(ls "$R4/prod4_ab/sdf-nerfacto/checkpoints" | sort -n | tail -1)
+    [ "$latest" != "2000" ] && mv "$R4/prod4_ab/sdf-nerfacto/checkpoints/$latest" \
+      "$R4/prod4_ab/sdf-nerfacto/checkpoints/2000"
+  fi
+  echo "=== ab_run attempt $(date +%H:%M:%S) ===" >> "$R4/logs/ab_run.log"
+  timeout 10800 python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
+    "${AB_FLAGS[@]}" --resume --load-nerf-only --override-start-step 2000 \
+    >> "$R4/logs/ab_run.log" 2>&1 || exit 1
+  mark ab_run
+fi
+if ! stage_done ab_eval; then
+  wait_capture
+  python -m nerf_emitter_tpu.scripts.eval \
+    --load-config "$R4/prod4_ab/sdf-nerfacto/config.json" \
+    --spp 32 --output-path "$R4/e2e_metrics_ab.json" \
+    > "$R4/logs/ab_eval.log" 2>&1 || exit 1
+  append_results "A/B reduced emitter schedule: NVS" "$R4/e2e_metrics_ab.json"
+  mark ab_eval
+fi
+if ! stage_done ab_relight; then
+  wait_capture
+  python -m nerf_emitter_tpu.scripts.eval \
+    --load-config "$R4/prod4_ab/sdf-nerfacto/config.json" \
+    --emitter-path "$R3/env_relit.exr" --test-data "$R3/sceneB_relit" \
+    --spp 32 --output-path "$R4/relight_metrics_ab.json" \
+    > "$R4/logs/ab_relight.log" 2>&1 || exit 1
+  append_results "A/B reduced emitter schedule: relighting" "$R4/relight_metrics_ab.json"
+  mark ab_relight
+fi
+if ! stage_done ab_chamfer; then
+  {
+    JAX_PLATFORMS=cpu python -m nerf_emitter_tpu.scripts.exporter mi-marching-cubes \
+      --load-config "$R4/prod4_ab/sdf-nerfacto/config.json" \
+      --resolution 192 --output-dir "$R4/ab_mesh" &&
+    JAX_PLATFORMS=cpu python -m nerf_emitter_tpu.scripts.chamfer \
+      "$R4/ab_mesh/mesh.ply" "$R3/gt_mesh/mesh.ply" \
+      --output-path "$R4/chamfer_ab.json"
+  } > "$R4/logs/ab_chamfer.log" 2>&1 || exit 1
+  append_results "A/B reduced emitter schedule: chamfer" "$R4/chamfer_ab.json"
+  mark ab_chamfer
 fi
 
 # ---- freq-vs-hash quality A/B (VERDICT r3 #6): 2 scenes x 2 impls

@@ -39,6 +39,7 @@ import pytest  # noqa: E402
 _SLOW_TESTS = {
     "test_hdr_to_sdf_checkpoint_chain",
     "test_resume_past_upsample",
+    "test_resume_with_drifted_optimizer_structure",
     "test_aggregate_step_runs_and_descends",
     "test_aggregate_gradient_scale_matches_exact",
     "test_mean_start_step_gates_accumulation",

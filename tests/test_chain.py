@@ -155,6 +155,107 @@ def test_resume_past_upsample(tmp_path):
     )
 
 
+def test_resume_with_drifted_optimizer_structure(tmp_path, capsys):
+    """Checkpoint restore must survive an SDF optimizer hyper-STRUCTURE
+    change between save and restore (regression: round 4 shipped
+    uniform_adam + lr_decay_at_up for the sdf variable, and every
+    eval/resume of a checkpoint written under per-coordinate Adam crashed
+    in the orbax template match), and --load-nerf-only must read only the
+    NeRF subtree so it is immune to any SDF-side drift."""
+    import dataclasses
+    import json
+
+    from nerf_emitter_tpu.renderer.optimize import (
+        OPT_CONFIGS,
+        SdfOptConfig,
+        _default_variables,
+    )
+    from nerf_emitter_tpu.renderer.scene import DIFFUSE
+    from nerf_emitter_tpu.scripts.gen_data import main as gen_main
+    from nerf_emitter_tpu.scripts.train import main as train_main
+
+    def tiny_cfg(variables):
+        return SdfOptConfig(
+            name="test-opt-drift", bsdf_type=DIFFUSE, loss="relative_l1",
+            variables=variables, init_res=8, tex_res=8,
+        )
+
+    adam_vars = tuple(
+        dataclasses.replace(v, optimizer="adam", lr_decay_at_up=1.0)
+        for v in _default_variables(3e-3, ())
+    )
+    OPT_CONFIGS["test-opt-drift"] = tiny_cfg(adam_vars)
+
+    scene = tmp_path / "scene"
+    gen_main(["--object", "sphere", "--n-views", "4", "--width", "10",
+              "--height", "10", "--spp", "2", "--out", str(scene)])
+    out = tmp_path / "runs"
+    args = [
+        "sdf-nerfacto",
+        "--datacfg.data", str(scene),
+        "--experiment-name", "drift", "--output-dir", str(out),
+        "--train.num-rays-per-batch", "64",
+        "--pipeline.takeover-step", "2",
+        "--opt-config-name", "test-opt-drift",
+        "--pipeline.spp", "2", "--pipeline.takeover-image-size", "8",
+        "--pipeline.batch-size", "1", "--pipeline.sdf-init", "sphere",
+        "--steps-per-save", "1000", "--steps-per-eval-image", "1000",
+        "--model.num-nerf-samples", "8",
+        "--model.num-proposal-samples", "[16,8]",
+        "--model.log2-hashmap-size", "12", "--model.max-res", "128",
+    ]
+    train_main(args + ["--max-num-iterations", "4", "--train.max-steps", "4"])
+
+    # the optimizer recipe changes AFTER the checkpoint was written
+    uadam_vars = tuple(
+        dataclasses.replace(v, optimizer="uniform_adam")
+        if v.name == "sdf" else v
+        for v in adam_vars
+    )
+    OPT_CONFIGS["test-opt-drift"] = tiny_cfg(uadam_vars)
+
+    # full resume: params restore, moments re-init fresh, training continues
+    train_main(args + [
+        "--resume", "--max-num-iterations", "12", "--train.max-steps", "12",
+    ])
+    assert "optimizer structure drifted" in capsys.readouterr().out
+    events = (out / "drift" / "sdf-nerfacto" / "logs" / "events.jsonl").read_text()
+    post = [
+        json.loads(ln) for ln in events.splitlines()
+        if json.loads(ln).get("step", 0) >= 10
+    ]
+    assert any("view_loss" in row for row in post), post
+    assert all(
+        np.isfinite(row["view_loss"]) for row in post if "view_loss" in row
+    )
+
+    # --load-nerf-only from the same (takeover, drifted-structure)
+    # checkpoint: must not touch the SDF subtree at all
+    nerf_only_out = tmp_path / "runs" / "drift2" / "sdf-nerfacto"
+    nerf_only_out.mkdir(parents=True)
+    shutil.copytree(
+        out / "drift" / "sdf-nerfacto" / "checkpoints",
+        nerf_only_out / "checkpoints",
+    )
+    # rename the seed below the new run's save steps (orbax skips saves at
+    # steps <= the directory's latest; same trick as the A/B stage queue)
+    (latest_dir,) = [
+        p for p in (nerf_only_out / "checkpoints").iterdir() if p.name.isdigit()
+    ]
+    latest_dir.rename(latest_dir.parent / "1")
+    train_main([
+        a if a != "drift" else "drift2" for a in args
+    ] + [
+        "--resume", "--load-nerf-only", "--override-start-step", "2",
+        # metrics flush every 10 steps: run past step 10 so the takeover
+        # writes at least one view_loss row to assert on
+        "--max-num-iterations", "12", "--train.max-steps", "12",
+    ])
+    assert "restored NeRF state only" in capsys.readouterr().out
+    events2 = (nerf_only_out / "logs" / "events.jsonl").read_text()
+    assert any("view_loss" in ln for ln in events2.splitlines())
+
+
 def test_gen_data_resume_identical(tmp_path):
     """--resume after deleting half the views re-renders ONLY the missing
     ones, bit-identically (key streams advance over skipped views)."""

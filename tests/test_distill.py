@@ -107,9 +107,15 @@ def tiny_nerf():
 
 def test_student_contract_against_nerf_teacher(tiny_nerf):
     from nerf_emitter_tpu.pipelines.nerf_emitter import make_nerf_emitter_fn
+    from nerf_emitter_tpu.renderer.emitters import VMFMixture
 
     model, params = tiny_nerf
     teacher_fn_of = make_nerf_emitter_fn(model, 1.0, AABB, detach_nerf=True)
+    guiding = VMFMixture(
+        positions=jnp.asarray([[0.5, 0.9, 0.5], [0.1, 0.5, 0.5]]),
+        weights=jnp.asarray([0.7, 0.3]),
+        stds=jnp.asarray([0.3, 0.5]),
+    )
     module, sparams, fidelity = distill_emitter(
         jax.random.PRNGKey(0),
         params,
@@ -117,6 +123,7 @@ def test_student_contract_against_nerf_teacher(tiny_nerf):
         scene_scale=1.0,
         object_aabb=AABB,
         num_cameras=model.num_cameras,
+        guiding=guiding,
         config=DistillConfig(
             steps=20, batch=256, hidden=32, depth=2, holdout_batches=1,
             scan_chunk=10,

@@ -551,3 +551,29 @@ def test_prod_recipe_improves_past_upsample():
     # must at least hold the line through the upsample
     assert post < 1.2 * pre, (pre, post, views)
     assert np.isfinite(laps).all() and laps[-1] < 1.0, laps[-5:]
+
+
+def test_lr_decay_at_up_scales_sdf_updates():
+    """build_sdf_optimizer(lr_scale=...) must scale ONLY the named
+    variable's step (the per-volume-upsample lr decay the pipeline
+    accumulates via VariableSpec.lr_decay_at_up)."""
+    from nerf_emitter_tpu.renderer.optimize import _default_variables
+
+    cfg = SdfOptConfig(
+        name="t", bsdf_type=0, loss="relative_l1",
+        variables=_default_variables(3e-3, ()),
+    )
+    scene = SdfScene.create(sdf_res=9, tex_res=4, bsdf_type=0)
+    grads = jax.tree.map(jnp.ones_like, scene)
+
+    def sdf_step(scale):
+        tx = build_sdf_optimizer(cfg, lr_scale=scale)
+        upd, _ = tx.update(grads, tx.init(scene), scene)
+        return upd
+
+    base = sdf_step(None)
+    dec = sdf_step({"sdf": 0.25})
+    ratio = float(jnp.abs(dec.sdf).max() / jnp.abs(base.sdf).max())
+    assert abs(ratio - 0.25) < 1e-3, ratio
+    r_alb = float(jnp.abs(dec.albedo).max() / jnp.abs(base.albedo).max())
+    assert abs(r_alb - 1.0) < 1e-5, r_alb
