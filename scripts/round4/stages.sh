@@ -119,8 +119,8 @@ mark chamfer
 #   2. does the distilled 6.3x emitter hold quality? (mini_dl -> gate)
 # The full-scale prod4f/prod4_dl stages below supersede these numbers
 # when they land; the gate is idempotent.
-MINI_PRE=${MINI_PRE:-800}
-MINI_TOTAL=${MINI_TOTAL:-960}
+MINI_PRE=${MINI_PRE:-2000}
+MINI_TOTAL=${MINI_TOTAL:-2160}
 MINI_FLAGS=(--datacfg.data "$R3/sceneB" --output-dir "$R4"
   --opt-config-name diffuse-12-relativel1-hqq-r128
   --pipeline.spp "$E2E_SPP" --pipeline.spp-attached "$E2E_ATT"
@@ -143,7 +143,7 @@ if ! stage_done mini_pf_eval; then
     --load-config "$R4/prod_mini/sdf-nerfacto/config.json" \
     --spp 32 --output-path "$R4/mini_pf_metrics.json" \
     > "$R4/logs/mini_pf_eval.log" 2>&1 || exit 1
-  append_results "MINI fixed-recipe baseline (800+160): NVS" "$R4/mini_pf_metrics.json"
+  append_results "MINI fixed-recipe baseline (${MINI_PRE}+160): NVS" "$R4/mini_pf_metrics.json"
   mark mini_pf_eval
 fi
 if ! stage_done mini_pf_chamfer; then
@@ -155,11 +155,11 @@ if ! stage_done mini_pf_chamfer; then
       "$R4/mini_pf_mesh/mesh.ply" "$R3/gt_mesh/mesh.ply" \
       --output-path "$R4/chamfer_mini_pf.json"
   } > "$R4/logs/mini_pf_chamfer.log" 2>&1 || exit 1
-  append_results "MINI fixed-recipe baseline (800+160): chamfer" "$R4/chamfer_mini_pf.json"
+  append_results "MINI fixed-recipe baseline (${MINI_PRE}+160): chamfer" "$R4/chamfer_mini_pf.json"
   mark mini_pf_chamfer
 fi
 
-# distilled arm: same frozen 800-step NeRF (NeRF is frozen in takeover,
+# distilled arm: same frozen pretrained NeRF (NeRF is frozen in takeover,
 # so prod_mini's latest checkpoint's NeRF subtree == step 800's)
 if ! stage_done mini_dl; then
   wait_capture
@@ -187,7 +187,7 @@ if ! stage_done mini_dl_eval; then
     --load-config "$R4/prod_mini_dl/sdf-nerfacto/config.json" \
     --spp 32 --output-path "$R4/mini_dl_metrics.json" \
     > "$R4/logs/mini_dl_eval.log" 2>&1 || exit 1
-  append_results "MINI distilled arm (800+160): NVS" "$R4/mini_dl_metrics.json"
+  append_results "MINI distilled arm (${MINI_PRE}+160): NVS" "$R4/mini_dl_metrics.json"
   mark mini_dl_eval
 fi
 if ! stage_done mini_dl_chamfer; then
@@ -199,7 +199,7 @@ if ! stage_done mini_dl_chamfer; then
       "$R4/mini_dl_mesh/mesh.ply" "$R3/gt_mesh/mesh.ply" \
       --output-path "$R4/chamfer_mini_dl.json"
   } > "$R4/logs/mini_dl_chamfer.log" 2>&1 || exit 1
-  append_results "MINI distilled arm (800+160): chamfer" "$R4/chamfer_mini_dl.json"
+  append_results "MINI distilled arm (${MINI_PRE}+160): chamfer" "$R4/chamfer_mini_dl.json"
   mark mini_dl_chamfer
 fi
 
@@ -208,7 +208,7 @@ fi
 if ! stage_done mini_dl_decide; then
   {
     echo ""
-    echo "_(gate below evaluated on the MINI 800+160 arms; the"
+    echo "_(gate below evaluated on the MINI ${MINI_PRE}+160 arms; the"
     echo "production-scale dl_decide re-confirms it when prod4f/prod4_dl"
     echo "land)_"
   } >> /root/repo/RESULTS_r04.md
@@ -236,7 +236,7 @@ if ! stage_done mini_pf_relight; then
     --emitter-path "$R3/env_relit.exr" --test-data "$R3/sceneB_relit" \
     --spp 32 --output-path "$R4/mini_relight_metrics.json" \
     > "$R4/logs/mini_pf_relight.log" 2>&1 || exit 1
-  append_results "MINI fixed-recipe baseline (800+160): relighting" "$R4/mini_relight_metrics.json"
+  append_results "MINI fixed-recipe baseline (${MINI_PRE}+160): relighting" "$R4/mini_relight_metrics.json"
   mark mini_pf_relight
 fi
 
