@@ -222,6 +222,11 @@ def main():
                             rays / A100_EMITTER_QUERY_RAYS_PER_SEC_EST, 3
                         ),
                         "methodology": "on_device_scan_chain",
+                        # provenance: which serving path sdf-nerfacto ships
+                        # by default (configs/gates.json) vs what this run
+                        # actually measured
+                        "gated_default_distilled": distilled_default,
+                        "measured_path": "distilled_lf",
                     }
                 )
             )
@@ -255,6 +260,8 @@ def main():
                 ),
                 "methodology": methodology[best_impl],
                 "samples_per_ray": list(_sample_schedule()),
+                "gated_default_distilled": distilled_default,
+                "measured_path": f"megakernel_{best_impl}",
             }
         )
     )

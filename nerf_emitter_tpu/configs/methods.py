@@ -19,6 +19,7 @@ from typing import Optional
 
 from ..engine.train_loop import TrainConfig
 from ..pipelines.nerf_emitter import NerfEmitterPipelineConfig
+from .gates import gate_default
 
 
 @dataclasses.dataclass
@@ -130,6 +131,16 @@ def _sdf_nerfacto() -> ExperimentConfig:
             takeover_step=PRETRAIN_ITER,
             mi_opt_steps=MI_OPT_ITER,
             guiding_type="vmf",
+            # perf-lever defaults are decided by quality gates recorded in
+            # the committed configs/gates.json (see configs/gates.py):
+            # - distill_emitter: the 6.3x/chip light-field serving cache
+            # - reduced emitter sample schedule: the 2.63x query lever
+            distill_emitter=gate_default("distill_emitter"),
+            emitter_samples=(
+                (128, 48, 24)
+                if gate_default("emitter_samples_reduced")
+                else None
+            ),
         ),
     )
 

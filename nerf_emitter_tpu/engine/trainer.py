@@ -278,7 +278,10 @@ class Trainer:
         self.ckpt.save(step, state)
 
     def load_checkpoint(
-        self, step: Optional[int] = None, nerf_only: bool = False
+        self,
+        step: Optional[int] = None,
+        nerf_only: bool = False,
+        bind: bool = True,
     ):
         step = step if step is not None else self.ckpt.latest_step()
         # Inspect the on-disk shapes first: a takeover checkpoint stores the
@@ -394,8 +397,10 @@ class Trainer:
                 self.pipeline.sdf_state = jax.device_put(
                     self.pipeline.sdf_state, replicated(self.mesh)
                 )
-        if self.pipeline.sdf_state is not None:
+        if self.pipeline.sdf_state is not None and bind:
             # bind emitter closures / occlusion layers to the RESTORED NeRF
             # params and replay the render-res upsample schedule up to the
-            # restored SDF resolution
+            # restored SDF resolution. `bind=False` callers (the exporter)
+            # only need the restored arrays — skipping the bind avoids
+            # occlusion renders / emitter (re-)distillation on a CPU host.
             self.pipeline.resume_takeover_bind(jax.random.PRNGKey(0))

@@ -41,11 +41,19 @@ def cmd_marching_cubes(args):
         config = load_config(args.load_config)
         trainer = Trainer(config)
         trainer.setup()
-        trainer.pipeline.begin_takeover(__import__("jax").random.PRNGKey(0))
+        # Restore via the trainer's template path (begin_takeover_template at
+        # the STORED grid resolution, trainer.py load_checkpoint) — NOT the
+        # full begin_takeover(), whose TSDF fusion / light-pc / GMM init ran
+        # for hours on the 1-core CPU export host and wedged the round-4
+        # stage queue. bind=False: the exporter only needs the scene arrays.
         try:
-            trainer.load_checkpoint(args.checkpoint_step)
+            trainer.load_checkpoint(args.checkpoint_step, bind=False)
         except FileNotFoundError:
             print("warning: no checkpoint; exporting init scene")
+        if trainer.pipeline.sdf_state is None:
+            # pretrain-only checkpoint (or none): export the init-template
+            # scene so the CLI still produces a mesh to look at
+            trainer.pipeline.begin_takeover_template()
         scene = trainer.pipeline.sdf_state.scene
         sdf = np.asarray(scene.sdf)
         albedo = np.asarray(scene.albedo)

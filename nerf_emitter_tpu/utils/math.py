@@ -81,7 +81,16 @@ def mape(pred: jax.Array, gt: jax.Array, eps: float = 1e-2) -> jax.Array:
 def ssim(pred: jax.Array, gt: jax.Array, max_val: float = 1.0) -> jax.Array:
     """Structural similarity over (H, W, C) images, 11x11 gaussian window
     (shrunk to the largest odd tap count that fits images smaller than 11
-    pixels — a VALID conv with window > image yields an empty mean = NaN)."""
+    pixels — a VALID conv with window > image yields an empty mean = NaN).
+
+    The window convs MUST run at Precision.HIGHEST: at the TPU's default
+    (bf16-input) conv precision the variance term `filt(x*x) - mu^2`
+    catastrophically cancels on smooth regions, producing |SSIM| >> 1
+    (round-4 evals published SSIM 11.1 before this was root-caused). The
+    variances are additionally clamped at 0 — they are variances, and
+    residual rounding noise must not flip the denominator's sign."""
+    pred = pred.astype(jnp.float32)
+    gt = gt.astype(jnp.float32)
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
     taps = min(11, pred.shape[0], pred.shape[1])
@@ -100,13 +109,14 @@ def ssim(pred: jax.Array, gt: jax.Array, max_val: float = 1.0) -> jax.Array:
             jnp.transpose(kernel, (2, 3, 0, 1)),  # (1, 1, taps, taps)
             window_strides=(1, 1),
             padding="VALID",
+            precision=jax.lax.Precision.HIGHEST,
         )
         return jnp.moveaxis(out[:, 0], 0, -1)
 
     mu_p, mu_g = filt(pred), filt(gt)
     mu_pp, mu_gg, mu_pg = mu_p * mu_p, mu_g * mu_g, mu_p * mu_g
-    sigma_pp = filt(pred * pred) - mu_pp
-    sigma_gg = filt(gt * gt) - mu_gg
+    sigma_pp = jnp.maximum(filt(pred * pred) - mu_pp, 0.0)
+    sigma_gg = jnp.maximum(filt(gt * gt) - mu_gg, 0.0)
     sigma_pg = filt(pred * gt) - mu_pg
     num = (2 * mu_pg + c1) * (2 * sigma_pg + c2)
     den = (mu_pp + mu_gg + c1) * (sigma_pp + sigma_gg + c2)

@@ -107,7 +107,10 @@ def _vgg_features(img: jax.Array, convs, biases) -> list[jax.Array]:
                 x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             )
         x = jax.lax.conv_general_dilated(
-            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            # metric-bearing conv: default TPU (bf16-input) precision is not
+            # trustworthy for eval numbers (see utils/math.py ssim)
+            precision=jax.lax.Precision.HIGHEST,
         )
         x = jax.nn.relu(x + b[None, None, None, :])
         if i in _VGG_TAPS:
@@ -124,6 +127,7 @@ def _features(img: jax.Array, kernels) -> list[jax.Array]:
         x = jax.lax.conv_general_dilated(
             x, w, (stride, stride), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
         )
         x = jax.nn.relu(x)
         norm = jnp.sqrt(jnp.sum(x**2, axis=-1, keepdims=True) + 1e-10)
@@ -137,6 +141,8 @@ def lpips(pred: jax.Array, gt: jax.Array) -> tuple[jax.Array, str]:
     Returns (value, metric_name) — name is 'lpips' with calibrated
     weights, 'lpips_rf' with the random-feature fallback.
     """
+    pred = pred.astype(jnp.float32)
+    gt = gt.astype(jnp.float32)
     vgg = _loaded_vgg()
     if vgg is not None:
         convs, biases, lins = vgg

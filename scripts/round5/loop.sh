@@ -1,0 +1,31 @@
+#!/bin/bash
+# Outer retry loop for the round-5 queue (same protocol as round4/loop.sh:
+# probe the tunnel, run the idempotent stages, retry on crashes). Per-stage
+# retry caps live INSIDE stages.sh (check_fails) so one wedged stage can
+# no longer starve everything behind it (VERDICT r4 weak #2).
+R5=/root/repo/outputs/r5
+mkdir -p "$R5/logs"
+PROBE='
+import time
+t0 = time.time()
+import jax, jax.numpy as jnp
+x = jnp.ones((128, 128))
+(x @ x).block_until_ready()
+print("TPU_OK", jax.devices()[0].platform, f"{time.time()-t0:.1f}s")
+'
+while true; do
+  if timeout 120 python -c "$PROBE" 2>/dev/null | grep -q TPU_OK; then
+    echo "$(date +%H:%M:%S) tunnel alive — running stages"
+    bash "$(dirname "$0")/stages.sh" >> "$R5/logs/stages.log" 2>&1
+    rc=$?
+    if tail -5 "$R5/logs/stages.log" | grep -q ALL_STAGES_DONE; then
+      echo "$(date +%H:%M:%S) ALL STAGES DONE"
+      break
+    fi
+    echo "$(date +%H:%M:%S) stages exited rc=$rc — will retry after probe"
+    sleep 30
+  else
+    echo "$(date +%H:%M:%S) tunnel down — sleeping 120s"
+    sleep 120
+  fi
+done

@@ -48,6 +48,23 @@ def test_ssim_identical():
     assert float(ssim(img, 1.0 - img)) < 0.5
 
 
+def test_ssim_smooth_gradient_images():
+    """The round-4 TPU defect: on SMOOTH images the windowed variance
+    `filt(x*x) - mu^2` catastrophically cancels at default TPU conv
+    precision, yielding |SSIM| >> 1 (published 11.1). With the
+    Precision.HIGHEST fix, near-identical smooth ramps must score ~1 and
+    every SSIM must stay in [-1, 1]. Mirrors tests_tpu/test_numerics.py,
+    which runs this on the real chip."""
+    y = jnp.linspace(0.0, 1.0, 64)[:, None, None]
+    x = jnp.linspace(0.0, 1.0, 64)[None, :, None]
+    a = jnp.broadcast_to(0.5 * y + 0.5 * x, (64, 64, 3))
+    b = a + 1e-3 * jnp.sin(37.0 * y) * jnp.cos(23.0 * x)
+    s_ab = float(ssim(a, jnp.clip(b, 0.0, 1.0)))
+    assert -1.0 <= s_ab <= 1.0
+    assert s_ab > 0.99
+    assert float(ssim(a, a)) == pytest.approx(1.0, abs=1e-4)
+
+
 def test_coords_roundtrip():
     pts = jax.random.normal(jax.random.PRNGKey(1), (16, 3))
     s = 1.5
