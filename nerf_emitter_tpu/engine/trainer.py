@@ -193,8 +193,37 @@ class Trainer:
             self.viewer_state = ViewerState(
                 make_orbit_render_fn(self.pipeline, self.dataset),
                 save_dir=self.run_dir,
+                scene_fn=self._viewer_scene_info,
             )
             start_viewer(self.viewer_state, cfg.viewer_port)
+
+    def _viewer_scene_info(self) -> dict:
+        """Scene-tree payload for the viewer (/scene): training-camera
+        frustums, the object AABB, and — once takeover has fitted them —
+        the GMM light clusters mapped back to world space. The reference
+        exposes the same graph through viser (nerfstudio/viewer/ scene
+        tree + camera frustum handles)."""
+        from ..utils import coords
+
+        info: dict = {"phase": "sdf" if self.pipeline.sdf_state is not None
+                      else "nerf"}
+        cams = self.dataset.cameras
+        c2w = np.asarray(cams.camera_to_worlds)[:, :3, :4]
+        info["cameras"] = c2w.tolist()
+        aabb = getattr(self.pipeline, "object_aabb", None)
+        if aabb is not None:
+            info["aabb"] = np.asarray(aabb).tolist()
+        sdf_state = self.pipeline.sdf_state
+        if sdf_state is not None and sdf_state.scene.guiding is not None:
+            g = sdf_state.scene.guiding
+            pos = coords.unit_to_world(
+                np.asarray(g.positions), self.config.datacfg.scene_scale
+            )
+            info["lights"] = {
+                "positions": np.asarray(pos).tolist(),
+                "weights": np.asarray(g.weights).tolist(),
+            }
+        return info
 
     @profiler.time_function
     def train(self, start_step: int = 0):
@@ -218,6 +247,23 @@ class Trainer:
             # yield the chip/host to a driver capture window (bench /
             # multichip dryrun) between steps
             capture_lock.checkpoint()
+            vs = self.viewer_state
+            if vs is not None:
+                # live viewer control (reference viewer train toggle):
+                # pause spins here (still honoring capture windows); stop
+                # checkpoints and ends the run cleanly
+                while vs.paused and not vs.stop_requested:
+                    capture_lock.checkpoint()
+                    time.sleep(0.25)
+                if vs.stop_requested:
+                    if self.is_main:
+                        print(f"viewer: stop requested at step {step}")
+                    try:
+                        self.save_checkpoint(step)
+                    except Exception as e:  # step may equal a just-saved one
+                        print(f"viewer stop: checkpoint skipped ({e})")
+                    self.writer.close()
+                    return
             key, k = jax.random.split(key)
             with profiler.time_block("train_iteration"):
                 metrics = self.pipeline.train_iteration(step, k)
@@ -235,6 +281,9 @@ class Trainer:
 
             if self.viewer_state is not None:
                 self.viewer_state.step = step
+                self.viewer_state.phase = (
+                    "sdf" if self.pipeline.sdf_state is not None else "nerf"
+                )
             if step > 0 and step % cfg.steps_per_eval_image == 0:
                 self.eval_step(step)
             if (

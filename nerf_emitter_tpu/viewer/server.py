@@ -11,6 +11,13 @@ workflow actually uses:
 - quality controls: spp + resolution, with low-res progressive refresh
   while dragging
 - live training status + loss sparkline (/metrics, fed by the Trainer)
+- live training CONTROL: pause / resume / stop buttons (the reference
+  viewer's train-toggle, viewer/viewer_elements.py + control_panel);
+  the Trainer polls the flags each iteration and stops with a checkpoint
+- scene tree (the reference's viser scene graph): training-camera
+  frustums, the object AABB wireframe, and the fitted light clusters
+  (GMM means, world space) drawn as overlays; click a camera row to jump
+  the viewpoint to that training camera's pose
 - keyframe capture -> camera-path JSON export, rendered offline by
   `scripts/render.py camera-path --camera-path-file` (the reference's
   viewer camera-path workflow, render.py:808-818)
@@ -38,17 +45,33 @@ import numpy as np
 _PAGE = """<!doctype html><html><head><title>nerf_emitter_tpu viewer</title>
 <style>
 body{margin:0;background:#111;color:#eee;font-family:sans-serif;display:flex}
-#c{cursor:grab;image-rendering:pixelated}
-#panel{padding:10px;min-width:230px;font-size:13px}
+#wrap{position:relative;width:512px;height:512px}
+#c{cursor:grab;image-rendering:pixelated;position:absolute;left:0;top:0}
+#ov{position:absolute;left:0;top:0;pointer-events:none}
+#panel{padding:10px;min-width:250px;font-size:13px;max-height:100vh;overflow-y:auto}
 #panel label{display:block;margin-top:8px}
 #spark{background:#181818;display:block;margin-top:4px}
 button{margin-top:6px}
 select,input[type=range]{width:100%}
+#tree{margin-top:10px;border-top:1px solid #333;padding-top:6px}
+#tree .node{margin-left:10px}
+#camlist{max-height:130px;overflow-y:auto;margin-left:22px;color:#9cf}
+#camlist div{cursor:pointer}
+#camlist div:hover{color:#fff}
+.phase{color:#fc6}
 </style></head><body>
-<img id=c width=512 height=512>
+<div id=wrap>
+  <img id=c width=512 height=512>
+  <canvas id=ov width=512 height=512></canvas>
+</div>
 <div id=panel>
-  <div>step <span id=step>-</span> &middot; loss <span id=loss>-</span></div>
+  <div>step <span id=step>-</span> &middot; loss <span id=loss>-</span>
+    &middot; <span id=phase class=phase>-</span></div>
   <canvas id=spark width=210 height=48></canvas>
+  <div>
+    <button id=pause>pause training</button>
+    <button id=stop>stop + checkpoint</button>
+  </div>
   <label>mode <select id=mode>
     <option>rgb</option><option>depth</option>
     <option>accumulation</option><option>normal</option></select></label>
@@ -62,11 +85,21 @@ select,input[type=range]{width:100%}
     <input id=light type=range min=0 max=360 value=0></label>
   <button id=key>add keyframe (<span id=nkey>0</span>)</button>
   <button id=exp>export camera path</button>
+  <div id=tree><b>scene</b>
+    <div class=node><label><input type=checkbox id=showcams>
+      cameras (<span id=ncams>0</span>) — click to jump</label>
+      <div id=camlist></div></div>
+    <div class=node><label><input type=checkbox id=showaabb>
+      object AABB</label></div>
+    <div class=node><label><input type=checkbox id=showlights>
+      light clusters (<span id=nlights>0</span>)</label></div>
+  </div>
   <div style="margin-top:10px;color:#888">drag orbit &middot; shift-drag pan
   &middot; wheel zoom</div>
 </div>
 <script>
 let th=0.5, ph=0.4, r=2.4, t=[0,0,0], busy=false, drag=false, dirty=true;
+let scene=null, paused=false;
 const $=id=>document.getElementById(id);
 const img=$('c');
 const keys=[];
@@ -79,10 +112,103 @@ function load(){ if(busy||!dirty) return; busy=true; dirty=false;
   const w = drag ? 128 : +$('res').value;
   const u=`/render?`+params(w);
   const i=new Image();
-  i.onload=()=>{img.src=u; busy=false; if(dirty) load();};
+  i.onload=()=>{img.src=u; busy=false; overlay(); if(dirty) load();};
   i.onerror=()=>{busy=false;};
   i.src=u; }
-function mark(){ dirty=true; load(); }
+function mark(){ dirty=true; overlay(); load(); }
+// ---- scene-tree overlays: project world points through the SAME
+// look-at/pinhole model the server renders with (data/synthetic.look_at:
+// forward=target-eye, right=fwd x up, up'=right x fwd; u=W/2+f*x/z).
+function basis(){
+  const eye=[t[0]+r*Math.cos(th)*Math.cos(ph), t[1]+r*Math.sin(ph),
+             t[2]+r*Math.sin(th)*Math.cos(ph)];
+  let f=[t[0]-eye[0],t[1]-eye[1],t[2]-eye[2]];
+  const nf=Math.hypot(...f); f=f.map(v=>v/nf);
+  // right = fwd x up with up=(0,1,0) => (-fz, 0, fx)
+  let rg=[-f[2],0,f[0]];
+  const nr=Math.hypot(...rg)||1; rg=rg.map(v=>v/nr);
+  const up=[rg[1]*f[2]-rg[2]*f[1], rg[2]*f[0]-rg[0]*f[2],
+            rg[0]*f[1]-rg[1]*f[0]]; // right x fwd
+  return {eye,f,rg,up};
+}
+function project(p,B,W){
+  const d=[p[0]-B.eye[0],p[1]-B.eye[1],p[2]-B.eye[2]];
+  const z=d[0]*B.f[0]+d[1]*B.f[1]+d[2]*B.f[2];
+  if(z<=1e-6) return null;
+  const fpx=0.5*W/Math.tan((+$('fov').value)*Math.PI/360);
+  const x=d[0]*B.rg[0]+d[1]*B.rg[1]+d[2]*B.rg[2];
+  const y=d[0]*B.up[0]+d[1]*B.up[1]+d[2]*B.up[2];
+  return [W/2+fpx*x/z, W/2-fpx*y/z];
+}
+function seg(c,B,W,a,b){const pa=project(a,B,W),pb=project(b,B,W);
+  if(pa&&pb){c.beginPath();c.moveTo(pa[0],pa[1]);c.lineTo(pb[0],pb[1]);c.stroke();}}
+function overlay(){
+  const cv=$('ov'), c=cv.getContext('2d'), W=512;
+  c.clearRect(0,0,W,W);
+  if(!scene) return;
+  const B=basis();
+  if($('showcams').checked && scene.cameras){
+    c.strokeStyle='#5d5';c.lineWidth=1;
+    for(const m of scene.cameras){ // m = 3x4 c2w (OpenGL: -z forward)
+      const o=[m[0][3],m[1][3],m[2][3]];
+      const s=0.12*r;
+      const fw=[-m[0][2],-m[1][2],-m[2][2]],
+            rt=[m[0][0],m[1][0],m[2][0]], upv=[m[0][1],m[1][1],m[2][1]];
+      const corners=[];
+      for(const [sx,sy] of [[-1,-1],[1,-1],[1,1],[-1,1]])
+        corners.push([0,1,2].map(i=>o[i]+s*(fw[i]+0.5*sx*rt[i]+0.5*sy*upv[i])));
+      for(let i=0;i<4;i++){ seg(c,B,W,o,corners[i]);
+        seg(c,B,W,corners[i],corners[(i+1)%4]); }
+    }
+  }
+  if($('showaabb').checked && scene.aabb){
+    c.strokeStyle='#fa4';c.lineWidth=1;
+    const [lo,hi]=scene.aabb;
+    const v=[[lo[0],lo[1],lo[2]],[hi[0],lo[1],lo[2]],[hi[0],hi[1],lo[2]],
+             [lo[0],hi[1],lo[2]],[lo[0],lo[1],hi[2]],[hi[0],lo[1],hi[2]],
+             [hi[0],hi[1],hi[2]],[lo[0],hi[1],hi[2]]];
+    for(const [a,b] of [[0,1],[1,2],[2,3],[3,0],[4,5],[5,6],[6,7],[7,4],
+                        [0,4],[1,5],[2,6],[3,7]]) seg(c,B,W,v[a],v[b]);
+  }
+  if($('showlights').checked && scene.lights){
+    const ws=scene.lights.weights, mx=Math.max(...ws,1e-9);
+    c.fillStyle='#ff6';
+    scene.lights.positions.forEach((p,i)=>{
+      const q=project(p,B,512); if(!q) return;
+      const rad=2+6*Math.sqrt(ws[i]/mx);
+      c.beginPath();c.arc(q[0],q[1],rad,0,6.3);c.fill();});
+  }
+}
+async function loadScene(){
+  try{ scene=await (await fetch('/scene')).json(); }catch(e){ return; }
+  $('ncams').innerText=(scene.cameras||[]).length;
+  $('nlights').innerText=scene.lights?scene.lights.positions.length:0;
+  $('phase').innerText=scene.phase||'-';
+  const cl=$('camlist'); cl.innerHTML='';
+  (scene.cameras||[]).forEach((m,i)=>{
+    const d=document.createElement('div'); d.textContent='cam '+i;
+    d.onclick=()=>{ // jump to this camera's pose: eye=c2w[:,3], look -z
+      const eye=[m[0][3],m[1][3],m[2][3]];
+      const fw=[-m[0][2],-m[1][2],-m[2][2]];
+      r=Math.hypot(eye[0]-t[0],eye[1]-t[1],eye[2]-t[2]);
+      t=[eye[0]+fw[0]*r, eye[1]+fw[1]*r, eye[2]+fw[2]*r];
+      const o=[eye[0]-t[0],eye[1]-t[1],eye[2]-t[2]];
+      ph=Math.asin(Math.max(-1,Math.min(1,o[1]/r)));
+      th=Math.atan2(o[2],o[0]); mark(); };
+    cl.appendChild(d); });
+  overlay();
+}
+for(const id of ['showcams','showaabb','showlights'])
+  $(id).onchange=overlay;
+$('pause').onclick=async()=>{
+  paused=!paused;
+  await fetch('/control',{method:'POST',
+    body:JSON.stringify({action:paused?'pause':'resume'})});
+  $('pause').innerText=paused?'resume training':'pause training'; };
+$('stop').onclick=async()=>{
+  if(!confirm('stop training and write a checkpoint?')) return;
+  await fetch('/control',{method:'POST',
+    body:JSON.stringify({action:'stop'})}); };
 let lx=0,ly=0,pan=false;
 img.onmousedown=e=>{drag=true;pan=e.shiftKey;lx=e.x;ly=e.y};
 window.onmouseup=()=>{if(drag){drag=false;mark();}};
@@ -103,10 +229,12 @@ $('exp').onclick=async()=>{
   const res=await fetch('/save_path',{method:'POST',
     body:JSON.stringify({keyframes:keys,n_frames:keys.length*24})});
   alert(await res.text()); };
+let lastPhase=null;
 async function poll(){
   try{
     const m=await (await fetch('/metrics')).json();
     $('step').innerText=m.step;
+    if(m.phase!==lastPhase){ lastPhase=m.phase; loadScene(); }
     if(m.losses.length){ $('loss').innerText=m.losses.at(-1)[1].toFixed(4);
       const c=$('spark').getContext('2d'); c.clearRect(0,0,210,48);
       const vs=m.losses.map(p=>p[1]);
@@ -117,7 +245,7 @@ async function poll(){
       c.stroke(); }
   }catch(e){}
   setTimeout(poll, 2000); }
-mark(); poll(); setInterval(()=>{dirty=true;load();}, 5000);
+mark(); loadScene(); poll(); setInterval(()=>{dirty=true;load();}, 5000);
 </script></body></html>"""
 
 MODES = ("rgb", "depth", "accumulation", "normal")
@@ -127,7 +255,7 @@ class ViewerState:
     """Mutable handle the trainer updates; the server reads it."""
 
     def __init__(self, render_fn, scene_radius: float = 2.4,
-                 save_dir: Optional[Path] = None):
+                 save_dir: Optional[Path] = None, scene_fn=None):
         # render_fn(theta, phi, radius, w, h, target, fov_deg, spp, mode,
         #           light_angle) -> (h, w, 3) float radiance/visualization
         self.render_fn = render_fn
@@ -135,12 +263,33 @@ class ViewerState:
         self.step = 0
         self.losses: deque = deque(maxlen=200)  # (step, loss)
         self.save_dir = Path(save_dir) if save_dir else Path(".")
+        # scene_fn() -> {"cameras": [3x4 c2w...], "aabb": [lo, hi],
+        #   "lights": {"positions": [...], "weights": [...]}, "phase": str}
+        # for the scene-tree overlays; read live so the light clusters
+        # appear the moment takeover fits them
+        self.scene_fn = scene_fn
+        self.phase = None  # "nerf" | "sdf", set cheaply by the trainer
+        # live training control (the trainer polls these each iteration)
+        self.paused = False
+        self.stop_requested = False
 
     def put_metrics(self, step: int, metrics: dict) -> None:
         self.step = step
         loss = metrics.get("loss")
         if loss is not None and np.isfinite(loss):
             self.losses.append((int(step), float(loss)))
+
+    def control(self, action: str) -> dict:
+        if action == "pause":
+            self.paused = True
+        elif action == "resume":
+            self.paused = False
+        elif action == "stop":
+            self.stop_requested = True
+            self.paused = False
+        else:
+            raise ValueError(f"unknown control action {action!r}")
+        return {"paused": self.paused, "stop": self.stop_requested}
 
 
 def keyframes_to_camera_path(payload: dict) -> dict:
@@ -198,6 +347,15 @@ def _make_handler(state: ViewerState):
                 except Exception as e:
                     self._send(str(e).encode(), "text/plain", 500)
                 return
+            if url.path == "/control":
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    out = state.control(payload.get("action", ""))
+                    self._send(json.dumps(out).encode(), "application/json")
+                except Exception as e:
+                    self._send(str(e).encode(), "text/plain", 400)
+                return
             self._send(b"not found", "text/plain", 404)
 
         def do_GET(self):
@@ -214,10 +372,23 @@ def _make_handler(state: ViewerState):
             if url.path == "/metrics":
                 self._send(
                     json.dumps(
-                        {"step": state.step, "losses": list(state.losses)}
+                        {
+                            "step": state.step,
+                            "losses": list(state.losses),
+                            "phase": state.phase,
+                            "paused": state.paused,
+                        }
                     ).encode(),
                     "application/json",
                 )
+                return
+            if url.path == "/scene":
+                try:
+                    info = state.scene_fn() if state.scene_fn else {}
+                except Exception as e:
+                    self._send(str(e).encode(), "text/plain", 500)
+                    return
+                self._send(json.dumps(info).encode(), "application/json")
                 return
             if url.path == "/render":
                 q = parse_qs(url.query)

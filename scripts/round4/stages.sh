@@ -111,7 +111,7 @@ mark chamfer
 # The reboot wiped every round-4 artifact, so nothing has landed yet and
 # the wall clock is short. This chain produces, within ~1-2h of queue
 # time, the two numbers the round exists to produce, at honest-small
-# scale (800 NeRF pretrain + 160 SDF mi-steps, same 128^2 pixel budget,
+# scale ($MINI_PRE NeRF pretrain + 160 SDF mi-steps, same 128^2 pixel budget,
 # same spp 16/8/batch 2, and crucially the SAME 64->127 volume upsample
 # at mi-64 that triggered the prod4 blow-up — so it is a real test of
 # the shipped combo fix at the production grid resolution):
@@ -160,7 +160,7 @@ if ! stage_done mini_pf_chamfer; then
 fi
 
 # distilled arm: same frozen pretrained NeRF (NeRF is frozen in takeover,
-# so prod_mini's latest checkpoint's NeRF subtree == step 800's)
+# so prod_mini's latest checkpoint's NeRF subtree == step $MINI_PRE's)
 if ! stage_done mini_dl; then
   wait_capture
   if [ ! -d "$R4/prod_mini_dl/sdf-nerfacto/checkpoints/$MINI_PRE" ]; then

@@ -3,6 +3,7 @@ feed, and the keyframe -> camera-path export consumed by
 `scripts/render.py camera-path --camera-path-file`."""
 
 import json
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -117,3 +118,69 @@ def test_render_cli_camera_path_file(tmp_path):
     np.testing.assert_allclose(
         _slerp(kf[0][:, :3], kf[1][:, :3], 1.0), kf[1][:, :3], atol=1e-5
     )
+
+
+def test_viewer_scene_tree_and_training_control(tmp_path):
+    """New round-5 parity surfaces (reference viser viewer: scene graph +
+    train toggle): /scene serves cameras/aabb/lights from the live
+    scene_fn, /control pause/resume/stop flips the flags the Trainer
+    polls, and /metrics carries phase + paused for the client."""
+    c2w = np.eye(4, dtype=np.float32)[:3].tolist()
+
+    def scene_fn():
+        return {
+            "phase": "sdf",
+            "cameras": [c2w],
+            "aabb": [[-1, -1, -1], [1, 1, 1]],
+            "lights": {"positions": [[0, 2, 0]], "weights": [1.0]},
+        }
+
+    state = ViewerState(_fake_render, save_dir=tmp_path, scene_fn=scene_fn)
+    state.phase = "sdf"
+    server = start_viewer(state, port=0)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        scene = json.loads(
+            urllib.request.urlopen(base + "/scene", timeout=10).read()
+        )
+        assert scene["phase"] == "sdf"
+        assert np.asarray(scene["cameras"]).shape == (1, 3, 4)
+        assert scene["lights"]["positions"] == [[0, 2, 0]]
+
+        def control(action):
+            req = urllib.request.Request(
+                base + "/control",
+                data=json.dumps({"action": action}).encode(),
+                method="POST",
+            )
+            return json.loads(urllib.request.urlopen(req, timeout=10).read())
+
+        assert control("pause") == {"paused": True, "stop": False}
+        assert state.paused is True
+        m = json.loads(
+            urllib.request.urlopen(base + "/metrics", timeout=10).read()
+        )
+        assert m["paused"] is True and m["phase"] == "sdf"
+        assert control("resume") == {"paused": False, "stop": False}
+        assert control("stop") == {"paused": False, "stop": True}
+        assert state.stop_requested is True
+
+        # unknown actions 400 instead of silently no-opping
+        req = urllib.request.Request(
+            base + "/control",
+            data=json.dumps({"action": "bogus"}).encode(),
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # the page embeds the scene tree + control UI
+        page = urllib.request.urlopen(base + "/", timeout=10).read()
+        for needle in (b"scene", b"pause training", b"camlist", b"showaabb"):
+            assert needle in page
+    finally:
+        server.shutdown()
