@@ -308,6 +308,19 @@ if ! stage_done dl_chamfer && ! check_fails dl_chamfer; then
   append_results "A/B distilled emitter (prod5_dl): chamfer" "$R5/chamfer_dl.json"
   mark dl_chamfer
 fi
+# end-to-end takeover step-time comparison (what the 6.3x emitter-query
+# lever buys the whole training step)
+if ! stage_done dl_steptime && ! check_fails dl_steptime; then
+  python scripts/round5/steptime.py \
+    "$R5/prod5f/sdf-nerfacto/logs/events.jsonl" \
+    "$R5/prod5_dl/sdf-nerfacto/logs/events.jsonl" \
+    --output-path "$R5/steptime_dl.json" \
+    >> "$R5/logs/dl_steptime.log" 2>&1 || fail dl_steptime
+  append_results "Takeover SDF step time: baseline vs distilled" \
+    "$R5/steptime_dl.json"
+  mark dl_steptime
+fi
+
 # the PRODUCTION-scale gate decision: writes configs/gates.json (flip OR
 # revert), which methods.py and bench.py read
 if ! stage_done dl_decide && ! check_fails dl_decide; then
