@@ -57,10 +57,18 @@ check_fails() { # $1 = stage name
   fi
   return 1
 }
-fail() { # $1 = stage name; bump the counter and stop this pass
-  local n
-  n=$(cat "$R5/fails/$1" 2>/dev/null || echo 0)
-  echo $((n + 1)) > "$R5/fails/$1"
+fail() { # $1 = stage name; bump the counter and stop this pass.
+  # Only count failures that happen with a LIVE tunnel: a stage killed by
+  # an axon outage mid-run is environmental, and charging it against the
+  # retry cap would let a flaky tunnel permanently skip a healthy stage.
+  if timeout 120 python -c '
+import jax, jax.numpy as jnp
+x = jnp.ones((64, 64)); (x @ x).block_until_ready(); print("TPU_OK")
+' 2>/dev/null | grep -q TPU_OK; then
+    local n
+    n=$(cat "$R5/fails/$1" 2>/dev/null || echo 0)
+    echo $((n + 1)) > "$R5/fails/$1"
+  fi
   exit 1
 }
 
