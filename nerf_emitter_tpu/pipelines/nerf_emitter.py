@@ -862,7 +862,7 @@ class NerfEmitterPipeline:
         key: jax.Array,
         spp: int = 64,
         spp_per_batch: int = 64,
-        denoise: bool = False,
+        denoise: bool | str = False,
     ) -> dict:
         """Novel-view render (reference render_camera_outputs,
         mitsuba_sdf.py:1042-1080): SDF renderer with the NeRF emitter when
@@ -871,8 +871,12 @@ class NerfEmitterPipeline:
         spp is split into power-of-two host-side batches of at most
         spp_per_batch (the reference's render_aggregate + divide_spp,
         mi_util.py:22-104): one compile per distinct batch size, device
-        memory bounded by spp_per_batch. denoise=True applies the joint
-        bilateral stand-in for the reference's OptiX denoiser pass."""
+        memory bounded by spp_per_batch. denoise stands in for the
+        reference's OptiX denoiser pass (mi_util.py:33-55): True or
+        'bilateral' applies the joint bilateral filter; 'learned' applies
+        the per-scene KPCN-lite kernel-prediction denoiser
+        (renderer/learned_denoise.py), noise2noise-fitted from this
+        scene's own renders on first use (fit_scene_denoiser)."""
         cams = dataset.cameras
         if self.sdf_state is None:
             out = self.render_fn(
@@ -964,7 +968,16 @@ class NerfEmitterPipeline:
         rgb = rgb_acc.reshape(h, w, 3)
         depth = first["depth"].reshape(h, w, 1)
         normal = first["normal"].reshape(h, w, 3)
-        if denoise:
+        if denoise == "learned":
+            from ..renderer.learned_denoise import apply_denoiser
+
+            if getattr(self, "_denoiser_params", None) is None:
+                self.fit_scene_denoiser(jax.random.PRNGKey(17), dataset)
+            rgb = apply_denoiser(
+                self._denoiser_params, rgb, normal, depth,
+                self._denoiser_config,
+            )
+        elif denoise:
             rgb = bilateral_denoise(rgb, normal=normal, depth=depth)
         return {
             "rgb": rgb,
@@ -972,6 +985,42 @@ class NerfEmitterPipeline:
             "normal": normal,
             "accumulation": first["soft_mask"].reshape(h, w, 1),
         }
+
+    def fit_scene_denoiser(
+        self,
+        key: jax.Array,
+        dataset: ImageDataset,
+        n_views: int = 3,
+        fit_spp: int = 8,
+        config=None,
+    ) -> float:
+        """Noise2noise fit of the per-scene learned denoiser
+        (renderer/learned_denoise.py): render each of n_views training
+        views TWICE with independent sample keys at fit_spp — the two
+        half-buffers are each other's targets, so no clean reference is
+        needed. Caches params on the pipeline; returns the final fit
+        loss. Like the distilled emitter cache, training data comes from
+        the renderer itself (serving/distill.py teacher batches)."""
+        from ..renderer.learned_denoise import DenoiserConfig, fit_denoiser
+
+        config = config or DenoiserConfig()
+        n_cams = dataset.cameras.camera_to_worlds.shape[0]
+        pairs = []
+        for i in range(n_views):
+            cam = int(i * max(1, n_cams // n_views)) % n_cams
+            key, ka, kb = jax.random.split(key, 3)
+            a = self.render_camera_outputs(
+                dataset, cam, ka, spp=fit_spp, denoise=False
+            )
+            b = self.render_camera_outputs(
+                dataset, cam, kb, spp=fit_spp, denoise=False
+            )
+            pairs.append((a["rgb"], b["rgb"], a["normal"], a["depth"]))
+        key, kf = jax.random.split(key)
+        params, loss = fit_denoiser(kf, pairs, config)
+        self._denoiser_params = params
+        self._denoiser_config = config
+        return loss
 
     def get_average_eval_image_metrics(
         self, dataset: ImageDataset, key: jax.Array, spp: int = 64,

@@ -118,7 +118,18 @@ def cmd_rotate_light(args):
             emitter_fn=rotated_emitter, config=pipeline.render_config,
         )
         rgb = np.asarray(out["rgb"]).reshape(cams.height, cams.width, 3)
-        if args.denoise:
+        if args.denoise == "learned":
+            from ..renderer.learned_denoise import apply_denoiser
+
+            if getattr(pipeline, "_denoiser_params", None) is None:
+                pipeline.fit_scene_denoiser(jax.random.PRNGKey(17), ds)
+            rgb = np.asarray(apply_denoiser(
+                pipeline._denoiser_params, jnp.asarray(rgb),
+                out["normal"].reshape(cams.height, cams.width, 3),
+                out["depth"].reshape(cams.height, cams.width, 1),
+                pipeline._denoiser_config,
+            ))
+        elif args.denoise:
             from ..renderer.spp_schedule import bilateral_denoise
 
             rgb = np.asarray(bilateral_denoise(
@@ -412,9 +423,17 @@ def main(argv=None):
         sub.add_argument("--spp-per-batch", type=int, default=64,
                          help="host-side spp batch size (divide_spp)")
         sub.add_argument("--denoise", action="store_true",
-                         help="joint bilateral denoise (OptiX stand-in)")
+                         help="denoise final renders (OptiX stand-in)")
+        sub.add_argument("--denoise-mode", choices=("bilateral", "learned"),
+                         default="bilateral",
+                         help="bilateral = joint bilateral filter; learned"
+                              " = per-scene KPCN-lite kernel prediction,"
+                              " noise2noise-fitted on first use")
         sub.set_defaults(fn=fn)
     args = ap.parse_args(argv)
+    # the pipeline takes denoise=False|'bilateral'|'learned'
+    if getattr(args, "denoise", False):
+        args.denoise = args.denoise_mode
     args.fn(args)
 
 
