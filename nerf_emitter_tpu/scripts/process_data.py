@@ -15,6 +15,15 @@ real-capture flow actually uses, with no external binaries.
   (before @ inv(after) per rotation) and `rotation_aabb`.
 - `images`: a poses JSON ({"frames": [{"file_path", "transform_matrix"}],
   intrinsics...}) -> transforms.json + downscales.
+- `polycam`: a Polycam LiDAR export (keyframes/{images,cameras}[,depth])
+  -> transforms.json with per-frame intrinsics, blur-score filtering and
+  border cropping (reference process_data/polycam_utils.py:28-118).
+- `record3d`: a Record3D capture (EXR|RGBD dir + metadata JSON of
+  scalar-last quaternion poses and the K matrix) -> transforms.json
+  (reference process_data/record3d_utils.py:28-93).
+- `realitycapture`: a RealityCapture CSV registration (name, position,
+  heading/pitch/roll, f in 35mm-equiv, distortion) -> transforms.json
+  (reference process_data/realitycapture_utils.py:29-127).
 
 COLMAP-based conversion needs the colmap binary (not in this image); the
 subcommand exists but exits with instructions when colmap is missing.
@@ -211,6 +220,171 @@ def cmd_images(args):
     print(f"{len(frames)} frames -> {args.output_dir / 'transforms.json'}")
 
 
+def _quat_to_mat(q: np.ndarray) -> np.ndarray:
+    """Scalar-LAST (x, y, z, w) unit quaternions (N, 4) -> (N, 3, 3)."""
+    x, y, z, w = (q[:, i] for i in range(4))
+    n = np.sqrt(x * x + y * y + z * z + w * w)
+    x, y, z, w = x / n, y / n, z / n, w / n
+    return np.stack(
+        [
+            np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w),
+                      2 * (x * z + y * w)], -1),
+            np.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z),
+                      2 * (y * z - x * w)], -1),
+            np.stack([2 * (x * z - y * w), 2 * (y * z + x * w),
+                      1 - 2 * (x * x + y * y)], -1),
+        ],
+        axis=1,
+    )
+
+
+def cmd_polycam(args):
+    """Polycam export: keyframes/cameras/*.json hold per-frame intrinsics,
+    a blur score, and a row-major 3x4 pose whose WORLD axes are permuted
+    (x, y, z) -> (z, x, y) relative to the GL convention the dataparsers
+    use (reference polycam_utils.py:73-79)."""
+    kf = args.data / "keyframes"
+    cam_dir = kf / "cameras"
+    img_dir = kf / ("corrected_images" if (kf / "corrected_images").is_dir()
+                    else "images")
+    depth_dir = kf / "depth"
+    crop = args.crop_border_pixels
+    names = _downscale_images(img_dir, args.output_dir, args.num_downscales)
+    frames, skipped = [], 0
+    for name in names:
+        meta_path = cam_dir / f"{Path(name).stem}.json"
+        if not meta_path.exists():
+            skipped += 1
+            continue
+        m = json.loads(meta_path.read_text())
+        if m.get("blur_score", np.inf) < args.min_blur_score:
+            skipped += 1
+            continue
+        pose = np.eye(4)
+        for r in range(3):
+            for c in range(4):
+                pose[r, c] = m[f"t_{r}{c}"]
+        pose = pose[[2, 0, 1, 3], :]  # world-axis permutation (see above)
+        frame = {
+            "fl_x": m["fx"], "fl_y": m["fy"],
+            "cx": m["cx"] - crop, "cy": m["cy"] - crop,
+            "w": m["width"] - 2 * crop, "h": m["height"] - 2 * crop,
+            "file_path": f"images/{name}",
+            "transform_matrix": pose.tolist(),
+        }
+        d = depth_dir / f"{Path(name).stem}.png"
+        if d.exists():
+            frame["depth_file_path"] = str(d)
+        frames.append(frame)
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+    out = {"camera_model": "OPENCV", "frames": frames}
+    (args.output_dir / "transforms.json").write_text(json.dumps(out, indent=2))
+    print(f"{len(frames)} frames ({skipped} skipped) -> "
+          f"{args.output_dir / 'transforms.json'}")
+
+
+def cmd_record3d(args):
+    """Record3D: metadata JSON carries scalar-last quaternion+translation
+    poses (N, 7) and the column-major K matrix (reference
+    record3d_utils.py:42-77)."""
+    meta = json.loads(args.metadata.read_text())
+    poses = np.asarray(meta["poses"], np.float64)  # (N, [qx qy qz qw tx ty tz])
+    c2w = np.concatenate(
+        [_quat_to_mat(poses[:, :4]), poses[:, 4:, None]], axis=-1
+    )
+    names = _downscale_images(args.data, args.output_dir, args.num_downscales)
+    if args.max_dataset_size and len(names) > args.max_dataset_size:
+        idx = np.round(
+            np.linspace(0, len(names) - 1, args.max_dataset_size)
+        ).astype(int)
+        names = [names[i] for i in idx]
+    else:
+        idx = np.arange(len(names))
+    if c2w.shape[0] < len(names):
+        raise SystemExit(
+            f"{c2w.shape[0]} poses for {len(names)} images — metadata and"
+            f" image dir disagree"
+        )
+    frames = [
+        {
+            "file_path": f"images/{n}",
+            "transform_matrix": np.vstack(
+                [c2w[i], [0.0, 0.0, 0.0, 1.0]]
+            ).tolist(),
+        }
+        for n, i in zip(names, idx)
+    ]
+    K = np.asarray(meta["K"], np.float64).reshape(3, 3).T  # column-major
+    h, w = meta["h"], meta["w"]
+    out = {
+        "fl_x": K[0, 0], "fl_y": K[0, 0],
+        # principal point from the metadata K has known indexing issues
+        # upstream (record3d_utils.py:75-77); center like the reference
+        "cx": w / 2.0, "cy": h / 2.0, "w": w, "h": h,
+        "camera_model": "OPENCV", "frames": frames,
+    }
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+    (args.output_dir / "transforms.json").write_text(json.dumps(out, indent=2))
+    print(f"{len(frames)} frames -> {args.output_dir / 'transforms.json'}")
+
+
+def _euler_rotation(heading_deg, pitch_deg, roll_deg) -> np.ndarray:
+    """RealityCapture's yaw(z) @ pitch(x) @ roll(y) with negated heading
+    (reference realitycapture_utils.py:90,113-127)."""
+    yw, pt, rl = (np.deg2rad(a) for a in (-heading_deg, pitch_deg, roll_deg))
+    cz, sz = np.cos(yw), np.sin(yw)
+    cx, sx = np.cos(pt), np.sin(pt)
+    cy, sy = np.cos(rl), np.sin(rl)
+    rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    return rz @ rx @ ry
+
+
+def cmd_realitycapture(args):
+    """RealityCapture CSV registration -> transforms.json. Focal length is
+    35mm-equivalent (scale by max(w, h)/36); principal point offsets are
+    in the same film units from center."""
+    import csv
+
+    from PIL import Image
+
+    names = _downscale_images(args.data, args.output_dir, args.num_downscales)
+    by_stem = {Path(n).stem: n for n in names}
+    with open(args.csv) as f:
+        rows = list(csv.DictReader(f))
+    frames, missing = [], 0
+    for row in rows:
+        stem = Path(row["#name"]).stem
+        if stem not in by_stem:
+            missing += 1
+            continue
+        name = by_stem[stem]
+        with Image.open(args.output_dir / "images" / name) as img:
+            w, h = img.size
+        scale = max(w, h) / 36.0
+        c2w = np.eye(4)
+        c2w[:3, :3] = _euler_rotation(
+            float(row["heading"]), float(row["pitch"]), float(row["roll"])
+        )
+        c2w[:3, 3] = [float(row["x"]), float(row["y"]), float(row["alt"])]
+        frames.append({
+            "file_path": f"images/{name}",
+            "w": w, "h": h,
+            "fl_x": float(row["f"]) * scale, "fl_y": float(row["f"]) * scale,
+            "cx": float(row["px"]) / 36.0 + w / 2.0,
+            "cy": float(row["py"]) / 36.0 + h / 2.0,
+            "k1": float(row.get("k1", 0)), "k2": float(row.get("k2", 0)),
+            "transform_matrix": c2w.tolist(),
+        })
+    if missing:
+        print(f"warning: {missing} CSV rows had no matching image")
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+    out = {"camera_model": "OPENCV", "frames": frames}
+    (args.output_dir / "transforms.json").write_text(json.dumps(out, indent=2))
+    print(f"{len(frames)} frames -> {args.output_dir / 'transforms.json'}")
+
+
 def cmd_colmap(args):
     if shutil.which("colmap") is None:
         raise SystemExit(
@@ -249,6 +423,33 @@ def main(argv=None):
     im.add_argument("--num-downscales", type=int, default=3)
     im.add_argument("--output-dir", type=Path, required=True)
     im.set_defaults(fn=cmd_images)
+
+    pc = subs.add_parser("polycam")
+    pc.add_argument("--data", type=Path, required=True,
+                    help="Polycam export root (contains keyframes/)")
+    pc.add_argument("--min-blur-score", type=float, default=25.0)
+    pc.add_argument("--crop-border-pixels", type=int, default=15)
+    pc.add_argument("--num-downscales", type=int, default=3)
+    pc.add_argument("--output-dir", type=Path, required=True)
+    pc.set_defaults(fn=cmd_polycam)
+
+    r3 = subs.add_parser("record3d")
+    r3.add_argument("--data", type=Path, required=True, help="image dir")
+    r3.add_argument("--metadata", type=Path, required=True,
+                    help="Record3D metadata JSON")
+    r3.add_argument("--max-dataset-size", type=int, default=0,
+                    help="evenly subsample to at most N frames (0 = all)")
+    r3.add_argument("--num-downscales", type=int, default=3)
+    r3.add_argument("--output-dir", type=Path, required=True)
+    r3.set_defaults(fn=cmd_record3d)
+
+    rc = subs.add_parser("realitycapture")
+    rc.add_argument("--data", type=Path, required=True, help="image dir")
+    rc.add_argument("--csv", type=Path, required=True,
+                    help="RealityCapture registration CSV")
+    rc.add_argument("--num-downscales", type=int, default=3)
+    rc.add_argument("--output-dir", type=Path, required=True)
+    rc.set_defaults(fn=cmd_realitycapture)
 
     cm = subs.add_parser("colmap")
     cm.set_defaults(fn=cmd_colmap)

@@ -507,3 +507,95 @@ def test_process_data_rotated_metashape(tmp_path):
     assert abs(np.linalg.det(r90[:3, :3]) - 1.0) < 1e-6
     assert np.abs(r90[:3, 3]).max() < 1e-6 or True  # translation allowed (chunk offset)
     assert meta["rotation_aabb"] == [[-2.0] * 3, [2.0] * 3]
+
+
+def test_process_data_polycam(tmp_path):
+    """Polycam converter: per-frame intrinsics, blur filtering, border
+    crop, and the (x,y,z)->(z,x,y) world-axis permutation."""
+    from PIL import Image
+
+    from nerf_emitter_tpu.scripts import process_data
+
+    kf = tmp_path / "keyframes"
+    (kf / "images").mkdir(parents=True)
+    (kf / "cameras").mkdir()
+    pose = np.eye(4)
+    pose[:3, 3] = [1.0, 2.0, 3.0]
+    for i, blur in enumerate([100.0, 1.0]):  # second frame is too blurry
+        Image.new("RGB", (64, 48)).save(kf / "images" / f"f{i}.jpg")
+        meta = {"fx": 500.0, "fy": 500.0, "cx": 32.0, "cy": 24.0,
+                "width": 64, "height": 48, "blur_score": blur}
+        for r in range(3):
+            for c in range(4):
+                meta[f"t_{r}{c}"] = pose[r, c]
+        (kf / "cameras" / f"f{i}.json").write_text(json.dumps(meta))
+    process_data.main([
+        "polycam", "--data", str(tmp_path), "--min-blur-score", "25",
+        "--crop-border-pixels", "2", "--num-downscales", "1",
+        "--output-dir", str(tmp_path / "out"),
+    ])
+    meta = json.loads((tmp_path / "out" / "transforms.json").read_text())
+    assert len(meta["frames"]) == 1  # blurry frame dropped
+    fr = meta["frames"][0]
+    assert fr["w"] == 60 and fr["cx"] == 30.0
+    m = np.asarray(fr["transform_matrix"])
+    # identity rotation + translation (1,2,3) permutes to (3,1,2)
+    np.testing.assert_allclose(m[:3, 3], [3.0, 1.0, 2.0])
+
+
+def test_process_data_record3d(tmp_path):
+    from PIL import Image
+
+    from nerf_emitter_tpu.scripts import process_data
+
+    img_dir = tmp_path / "rgb"
+    img_dir.mkdir()
+    for i in range(3):
+        Image.new("RGB", (32, 24)).save(img_dir / f"{i}.jpg")
+    # 90deg rotation about z as a scalar-last quaternion + translation
+    q = [0.0, 0.0, np.sin(np.pi / 4), np.cos(np.pi / 4)]
+    poses = [q + [float(i), 0.0, 1.0] for i in range(3)]
+    K = np.array([[400.0, 0, 0], [0, 400.0, 0], [16.0, 12.0, 1.0]])
+    (tmp_path / "metadata.json").write_text(json.dumps(
+        {"poses": poses, "K": K.flatten().tolist(), "w": 32, "h": 24}
+    ))
+    process_data.main([
+        "record3d", "--data", str(img_dir),
+        "--metadata", str(tmp_path / "metadata.json"),
+        "--max-dataset-size", "2", "--num-downscales", "1",
+        "--output-dir", str(tmp_path / "out"),
+    ])
+    meta = json.loads((tmp_path / "out" / "transforms.json").read_text())
+    assert meta["fl_x"] == 400.0 and meta["w"] == 32
+    assert len(meta["frames"]) == 2  # subsampled evenly: frames 0 and 2
+    m = np.asarray(meta["frames"][1]["transform_matrix"])
+    np.testing.assert_allclose(m[:3, 3], [2.0, 0.0, 1.0])
+    rz90 = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+    np.testing.assert_allclose(m[:3, :3], rz90, atol=1e-12)
+
+
+def test_process_data_realitycapture(tmp_path):
+    from PIL import Image
+
+    from nerf_emitter_tpu.scripts import process_data
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.new("RGB", (72, 36)).save(img_dir / "shot.png")
+    csv_path = tmp_path / "reg.csv"
+    csv_path.write_text(
+        "#name,x,y,alt,heading,pitch,roll,f,px,py,k1,k2,k3,k4,t1,t2\n"
+        "shot.png,1.0,2.0,3.0,0,0,0,36.0,0.0,0.0,0,0,0,0,0,0\n"
+    )
+    process_data.main([
+        "realitycapture", "--data", str(img_dir), "--csv", str(csv_path),
+        "--num-downscales", "1", "--output-dir", str(tmp_path / "out"),
+    ])
+    meta = json.loads((tmp_path / "out" / "transforms.json").read_text())
+    fr = meta["frames"][0]
+    # f is 35mm-equivalent: 36mm on a 72px-wide frame -> 72px focal
+    assert fr["fl_x"] == 72.0
+    assert fr["cx"] == 36.0 and fr["cy"] == 18.0
+    m = np.asarray(fr["transform_matrix"])
+    np.testing.assert_allclose(m[:3, 3], [1.0, 2.0, 3.0])
+    np.testing.assert_allclose(m[:3, :3], np.eye(3), atol=1e-12)
