@@ -13,7 +13,18 @@ x = jnp.ones((128, 128))
 (x @ x).block_until_ready()
 print("TPU_OK", jax.devices()[0].platform, f"{time.time()-t0:.1f}s")
 '
+ensure_chamfer_worker() {
+  local pidfile="$R5/chamfer_worker.pid"
+  if [ -f "$pidfile" ] && [ -d "/proc/$(cat "$pidfile")" ]; then
+    return 0
+  fi
+  nohup bash "$(dirname "$0")/chamfer_worker.sh" \
+    >> "$R5/logs/chamfer_worker.log" 2>&1 &
+  echo $! > "$pidfile"
+}
+
 while true; do
+  ensure_chamfer_worker
   if timeout 120 python -c "$PROBE" 2>/dev/null | grep -q TPU_OK; then
     echo "$(date +%H:%M:%S) tunnel alive — running stages"
     bash "$(dirname "$0")/stages.sh" >> "$R5/logs/stages.log" 2>&1

@@ -336,20 +336,20 @@ if ! stage_done pf_relight && ! check_fails pf_relight; then
     "$R5/relight_metrics_pf.json"
   mark pf_relight
 fi
-if ! stage_done pf_chamfer && ! check_fails pf_chamfer; then
-  {
-    timeout 3600 env JAX_PLATFORMS=cpu \
-      python -m nerf_emitter_tpu.scripts.exporter mi-marching-cubes \
-      --load-config "$R5/prod5f/sdf-nerfacto/config.json" \
-      --resolution 192 --output-dir "$R5/pf_mesh" &&
-    timeout 3600 env JAX_PLATFORMS=cpu \
-      python -m nerf_emitter_tpu.scripts.chamfer \
-      "$R5/pf_mesh/mesh.ply" "$R3/gt_mesh/mesh.ply" \
-      --output-path "$R5/chamfer_pf.json"
-  } >> "$R5/logs/pf_chamfer.log" 2>&1 || fail pf_chamfer
-  append_results "PROD baseline prod5f (2000+320): chamfer" "$R5/chamfer_pf.json"
-  mark pf_chamfer
-fi
+# chamfer for pf/dl/ab arms runs in the PARALLEL CPU worker
+# (scripts/round5/chamfer_worker.sh, started by loop.sh): on this 1-core
+# host each export+chamfer is ~45 min, and three of them used to sit
+# serially in the TPU queue's critical path before the gate decisions.
+# The queue only WAITS for the worker's JSON right before each consumer.
+wait_chamfer() { # $1 = arm (pf|dl|ab), $2 = max seconds
+  local end=$(( $(date +%s) + $2 ))
+  while [ ! -f "$R5/chamfer_$1.json" ] && [ "$(date +%s)" -lt "$end" ]; do
+    [ "$(cat "$R5/fails/chamfer_worker_$1" 2>/dev/null || echo 0)" -ge 3 ] \
+      && return 1
+    sleep 15
+  done
+  [ -f "$R5/chamfer_$1.json" ]
+}
 # (pf_archive moved up, directly after pf_run)
 
 # ---- 3. distilled-emitter A/B at production scale: same frozen pretrain,
@@ -387,20 +387,7 @@ if ! stage_done dl_relight && ! check_fails dl_relight; then
     "$R5/relight_metrics_dl.json"
   mark dl_relight
 fi
-if ! stage_done dl_chamfer && ! check_fails dl_chamfer; then
-  {
-    timeout 3600 env JAX_PLATFORMS=cpu \
-      python -m nerf_emitter_tpu.scripts.exporter mi-marching-cubes \
-      --load-config "$R5/prod5_dl/sdf-nerfacto/config.json" \
-      --resolution 192 --output-dir "$R5/dl_mesh" &&
-    timeout 3600 env JAX_PLATFORMS=cpu \
-      python -m nerf_emitter_tpu.scripts.chamfer \
-      "$R5/dl_mesh/mesh.ply" "$R3/gt_mesh/mesh.ply" \
-      --output-path "$R5/chamfer_dl.json"
-  } >> "$R5/logs/dl_chamfer.log" 2>&1 || fail dl_chamfer
-  append_results "A/B distilled emitter (prod5_dl): chamfer" "$R5/chamfer_dl.json"
-  mark dl_chamfer
-fi
+# (dl chamfer runs in the parallel CPU worker; reaped before dl_decide)
 # end-to-end takeover step-time comparison (what the 6.3x emitter-query
 # lever buys the whole training step)
 if ! stage_done dl_steptime && ! check_fails dl_steptime; then
@@ -412,6 +399,18 @@ if ! stage_done dl_steptime && ! check_fails dl_steptime; then
   append_results "Takeover SDF step time: baseline vs distilled" \
     "$R5/steptime_dl.json"
   mark dl_steptime
+fi
+
+# reap the parallel chamfer results (pf + dl) ahead of the gate decision
+if ! stage_done pf_chamfer && ! check_fails pf_chamfer; then
+  wait_chamfer pf 7200 || fail pf_chamfer
+  append_results "PROD baseline prod5f (2000+320): chamfer" "$R5/chamfer_pf.json"
+  mark pf_chamfer
+fi
+if ! stage_done dl_chamfer && ! check_fails dl_chamfer; then
+  wait_chamfer dl 7200 || fail dl_chamfer
+  append_results "A/B distilled emitter (prod5_dl): chamfer" "$R5/chamfer_dl.json"
+  mark dl_chamfer
 fi
 
 # the PRODUCTION-scale gate decision: writes configs/gates.json (flip OR
@@ -483,21 +482,7 @@ if ! stage_done ab_eval && ! check_fails ab_eval; then
     "$R5/mini_ab_metrics.json"
   mark ab_eval
 fi
-if ! stage_done ab_chamfer && ! check_fails ab_chamfer; then
-  {
-    timeout 3600 env JAX_PLATFORMS=cpu \
-      python -m nerf_emitter_tpu.scripts.exporter mi-marching-cubes \
-      --load-config "$R5/mini_ab/sdf-nerfacto/config.json" \
-      --resolution 192 --output-dir "$R5/ab_mesh" &&
-    timeout 3600 env JAX_PLATFORMS=cpu \
-      python -m nerf_emitter_tpu.scripts.chamfer \
-      "$R5/ab_mesh/mesh.ply" "$R3/gt_mesh/mesh.ply" \
-      --output-path "$R5/chamfer_ab.json"
-  } >> "$R5/logs/ab_chamfer.log" 2>&1 || fail ab_chamfer
-  append_results "A/B reduced schedule (mini_ab, 2000+160): chamfer" \
-    "$R5/chamfer_ab.json"
-  mark ab_chamfer
-fi
+# (ab chamfer runs in the parallel CPU worker; reaped before ab_decide)
 # NOTE: decide_schedule runs AFTER the real-capture chain below, so a
 # schedule-gate flip cannot change the default under tt_chain's feet.
 
@@ -563,6 +548,12 @@ if ! stage_done tt_eval && ! check_fails tt_eval; then
 fi
 
 # schedule gate decision — AFTER tt_chain (see note above)
+if ! stage_done ab_chamfer && ! check_fails ab_chamfer; then
+  wait_chamfer ab 7200 || fail ab_chamfer
+  append_results "A/B reduced schedule (mini_ab, 2000+160): chamfer" \
+    "$R5/chamfer_ab.json"
+  mark ab_chamfer
+fi
 if ! stage_done ab_decide && ! check_fails ab_decide; then
   {
     python scripts/round5/decide_schedule.py \
