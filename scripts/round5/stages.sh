@@ -136,7 +136,8 @@ restore_ckpt() { # $1 = checkpoints dir, $2 = tgz glob (under $RES)
 mkdir -p "$R3"
 if ! stage_done sceneB && ! check_fails sceneB; then
   wait_capture
-  timeout 7200 python -m nerf_emitter_tpu.scripts.gen_data \
+  bash /root/repo/scripts/round5/stall_guard.sh "$R3/sceneB" 1200 7200 \
+    python -m nerf_emitter_tpu.scripts.gen_data \
     --object composite --albedo bands \
     --n-views 60 --width 128 --height 128 --spp 32 --path-type random \
     --resume --out "$R3/sceneB" >> "$R5/logs/sceneB.log" 2>&1 || fail sceneB
@@ -163,7 +164,8 @@ from nerf_emitter_tpu.utils import exr
 img = exr.read_exr('$R3/sceneB/env.exr')
 exr.write_exr('$R3/env_relit.exr', np.roll(img[..., :3], img.shape[1] // 2, axis=1))
 PY
-  timeout 7200 python -m nerf_emitter_tpu.scripts.gen_data \
+  bash /root/repo/scripts/round5/stall_guard.sh "$R3/sceneB_relit" 1200 7200 \
+    python -m nerf_emitter_tpu.scripts.gen_data \
     --object composite --albedo bands \
     --envmap "$R3/env_relit.exr" --n-views 30 --width 128 --height 128 \
     --spp 32 --path-type random --resume --out "$R3/sceneB_relit" \
@@ -286,7 +288,8 @@ if ! stage_done pf_run && ! check_fails pf_run; then
   # instead of re-pretraining from scratch
   restore_ckpt "$R5/prod5f/sdf-nerfacto/checkpoints" 'prod5f_ckpt_*.tgz' || true
   echo "=== pf_run attempt $(date +%H:%M:%S) ===" >> "$R5/logs/pf_run.log"
-  timeout 14400 python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
+  bash /root/repo/scripts/round5/stall_guard.sh "$R5/prod5f" 2400 14400 \
+    python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
     "${PF_FLAGS[@]}" --resume \
     >> "$R5/logs/pf_run.log" 2>&1 || fail pf_run
   mark pf_run
@@ -362,7 +365,8 @@ if ! stage_done dl_run && ! check_fails dl_run; then
   seed_from "$R5/prod5f/sdf-nerfacto/checkpoints" "$R5/prod5_dl" 2000 \
     || fail dl_run
   echo "=== dl_run attempt $(date +%H:%M:%S) ===" >> "$R5/logs/dl_run.log"
-  timeout 14400 python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
+  bash /root/repo/scripts/round5/stall_guard.sh "$R5/prod5_dl" 2400 14400 \
+    python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
     "${DL_FLAGS[@]}" --resume --load-nerf-only --override-start-step 2000 \
     >> "$R5/logs/dl_run.log" 2>&1 || fail dl_run
   mark dl_run
@@ -456,7 +460,8 @@ AB_FLAGS=("${MINI_FLAGS[@]}" --experiment-name mini_ab
 if ! stage_done mini_donor && ! check_fails mini_donor; then
   wait_capture
   echo "=== mini_donor attempt $(date +%H:%M:%S) ===" >> "$R5/logs/mini_donor.log"
-  timeout 7200 python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
+  bash /root/repo/scripts/round5/stall_guard.sh "$R5/mini_donor" 2400 7200 \
+    python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
     "${MINI_FLAGS[@]}" "${PIN_BASELINE[@]}" --experiment-name mini_donor \
     --max-num-iterations 2000 --resume \
     >> "$R5/logs/mini_donor.log" 2>&1 || fail mini_donor
@@ -467,7 +472,8 @@ if ! stage_done ab_run && ! check_fails ab_run; then
   seed_from "$R5/mini_donor/sdf-nerfacto/checkpoints" "$R5/mini_ab" 2000 \
     || fail ab_run
   echo "=== ab_run attempt $(date +%H:%M:%S) ===" >> "$R5/logs/ab_run.log"
-  timeout 10800 python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
+  bash /root/repo/scripts/round5/stall_guard.sh "$R5/mini_ab" 2400 10800 \
+    python -m nerf_emitter_tpu.scripts.train sdf-nerfacto \
     "${AB_FLAGS[@]}" --resume --load-nerf-only --override-start-step 2000 \
     >> "$R5/logs/ab_run.log" 2>&1 || fail ab_run
   mark ab_run
@@ -489,7 +495,8 @@ fi
 # ---- 5. freq-vs-hash quality A/B (VERDICT r3 #6): 2 scenes x 2 impls
 if ! stage_done scene_v && ! check_fails scene_v; then
   wait_capture
-  timeout 3600 python -m nerf_emitter_tpu.scripts.gen_data \
+  bash /root/repo/scripts/round5/stall_guard.sh "$R5/scene_v" 1200 3600 \
+    python -m nerf_emitter_tpu.scripts.gen_data \
     --object sphere --albedo const \
     --n-views 40 --width 96 --height 96 --spp 32 --path-type random \
     --resume --out "$R5/scene_v" >> "$R5/logs/scene_v.log" 2>&1 || fail scene_v
@@ -501,7 +508,8 @@ for scene in "$R3/sceneB" "$R5/scene_v"; do
     name="fh_${sname}_${impl}"
     if ! stage_done "$name" && ! check_fails "$name"; then
       wait_capture
-      timeout 7200 python -m nerf_emitter_tpu.scripts.train hdr-nerfacto \
+      bash /root/repo/scripts/round5/stall_guard.sh "$R5/fh" 2400 7200 \
+        python -m nerf_emitter_tpu.scripts.train hdr-nerfacto \
         --datacfg.data "$scene" --experiment-name "${name}" --output-dir "$R5/fh" \
         --model.implementation "${impl}" --train.num-rays-per-batch 16384 \
         --max-num-iterations 2000 --train.max-steps 2000 \
@@ -521,7 +529,8 @@ done
 # honest-small scale, WITH metrics this time (VERDICT r3 #7 / r4 weak #5)
 if ! stage_done tt_scene && ! check_fails tt_scene; then
   wait_capture
-  timeout 3600 python -m nerf_emitter_tpu.scripts.gen_data \
+  bash /root/repo/scripts/round5/stall_guard.sh "$R5/scene_tt" 1200 3600 \
+    python -m nerf_emitter_tpu.scripts.gen_data \
     --object composite --albedo bands \
     --n-views 60 --width 128 --height 128 --spp 32 --n-rotations 3 \
     --path-type spiral --resume --out "$R5/scene_tt" \
@@ -532,7 +541,8 @@ if ! stage_done tt_chain && ! check_fails tt_chain; then
   wait_capture
   echo "=== tt_chain attempt $(date +%H:%M:%S) ===" >> "$R5/logs/tt_chain.log"
   PRETRAIN=800 TOTAL=880 OUT="$R5/tt" EXPORT_RES=128 RENDER_SPP=16 \
-    timeout 10800 bash scripts/real/ours/run.sh "$R5/scene_tt" tt \
+    bash /root/repo/scripts/round5/stall_guard.sh "$R5/tt" 2400 10800 \
+    bash scripts/real/ours/run.sh "$R5/scene_tt" tt \
     >> "$R5/logs/tt_chain.log" 2>&1 || fail tt_chain
   mark tt_chain
 fi
@@ -572,7 +582,8 @@ fi
 if ! stage_done envgt_train && ! check_fails envgt_train; then
   wait_capture
   echo "=== envgt attempt $(date +%H:%M:%S) ===" >> "$R5/logs/envgt.log"
-  timeout 7200 python -m nerf_emitter_tpu.scripts.train sdf-gt-envmap \
+  bash /root/repo/scripts/round5/stall_guard.sh "$R5/envgt" 2400 7200 \
+    python -m nerf_emitter_tpu.scripts.train sdf-gt-envmap \
     "${TRAIN_FLAGS[@]}" --experiment-name envgt --resume \
     >> "$R5/logs/envgt.log" 2>&1 || fail envgt_train
   mark envgt_train
