@@ -5,12 +5,16 @@
 # no longer starve everything behind it (VERDICT r4 weak #2).
 R5=/root/repo/outputs/r5
 mkdir -p "$R5/logs"
+# fresh-compile probe: the observed wedge mode (00:05Z 2026-08-21) hangs
+# new compilations while cached tiny programs still execute — a cached
+# probe would green-light stages into a guaranteed hang.
 PROBE='
 import time
 t0 = time.time()
 import jax, jax.numpy as jnp
-x = jnp.ones((128, 128))
-(x @ x).block_until_ready()
+n = 128 + int(time.time() * 1e6) % 97
+x = jnp.ones((n, n))
+(x @ x).sum().block_until_ready()
 print("TPU_OK", jax.devices()[0].platform, f"{time.time()-t0:.1f}s")
 '
 ensure_chamfer_worker() {
