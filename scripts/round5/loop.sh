@@ -15,6 +15,8 @@ import jax, jax.numpy as jnp
 n = 128 + int(time.time() * 1e6) % 97
 x = jnp.ones((n, n))
 (x @ x).sum().block_until_ready()
+y = jnp.ones((16 * 1024 * 1024,), jnp.float32)  # HBM-wedge check: >=64MB alloc
+y[-1].block_until_ready()
 print("TPU_OK", jax.devices()[0].platform, f"{time.time()-t0:.1f}s")
 '
 ensure_chamfer_worker() {

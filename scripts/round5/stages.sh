@@ -67,7 +67,9 @@ fail() { # $1 = stage name; bump the counter and stop this pass.
   if timeout 120 python -c '
 import time, jax, jax.numpy as jnp
 n = 128 + int(time.time() * 1e6) % 97
-x = jnp.ones((n, n)); (x @ x).sum().block_until_ready(); print("TPU_OK")
+x = jnp.ones((n, n)); (x @ x).sum().block_until_ready()
+y = jnp.ones((16 * 1024 * 1024,), jnp.float32)  # HBM-wedge check: >=64MB alloc
+y[-1].block_until_ready(); print("TPU_OK")
 ' 2>/dev/null | grep -q TPU_OK; then
     local n
     n=$(cat "$R5/fails/$1" 2>/dev/null || echo 0)
