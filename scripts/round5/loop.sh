@@ -31,7 +31,10 @@ ensure_chamfer_worker() {
 
 while true; do
   ensure_chamfer_worker
-  if timeout 120 python -c "$PROBE" 2>/dev/null | grep -q TPU_OK; then
+  # Patient probe (300s): killing a probe mid-session leaves a zombie
+  # session server-side that BLOCKS the next client — timeout-killed
+  # probes were self-sustaining the 23:49-00:46Z wedge.
+  if timeout 300 python -c "$PROBE" 2>/dev/null | grep -q TPU_OK; then
     echo "$(date +%H:%M:%S) tunnel alive — running stages"
     bash "$(dirname "$0")/stages.sh" >> "$R5/logs/stages.log" 2>&1
     rc=$?
@@ -42,7 +45,7 @@ while true; do
     echo "$(date +%H:%M:%S) stages exited rc=$rc — will retry after probe"
     sleep 30
   else
-    echo "$(date +%H:%M:%S) tunnel down — sleeping 120s"
-    sleep 120
+    echo "$(date +%H:%M:%S) tunnel down — sleeping 180s to let zombie sessions drain"
+    sleep 180
   fi
 done

@@ -64,7 +64,12 @@ fail() { # $1 = stage name; bump the counter and stop this pass.
   # The aliveness probe must do a FRESH COMPILE: the 00:05Z wedge mode
   # passes tiny cached-program probes while hanging any new compilation,
   # which would charge environmental hangs against the stage retry cap.
-  if timeout 120 python -c '
+  # Cool down first: the axon server serializes sessions, and a client
+  # killed a moment ago lingers server-side; probing immediately would
+  # block behind it — and a timeout-killed probe leaves ANOTHER zombie
+  # (the self-sustaining 23:49-00:46Z wedge). Patient 300s probe.
+  sleep 90
+  if timeout 300 python -c '
 import time, jax, jax.numpy as jnp
 n = 128 + int(time.time() * 1e6) % 97
 x = jnp.ones((n, n)); (x @ x).sum().block_until_ready()

@@ -35,6 +35,7 @@ while [ -d "/proc/$PID" ]; do
   if [ $((NOW - M)) -gt "$STALL" ]; then
     kill "$PID" 2>/dev/null; sleep 5; kill -9 "$PID" 2>/dev/null
     echo "stall_guard: no progress under $WATCH for ${STALL}s — killed $PID" >&2
+    sleep 30  # let the killed client's server-side session drain
     exit 125
   fi
 done
