@@ -14,6 +14,20 @@ import os
 def enable_persistent_compilation_cache() -> None:
     import jax
 
+    if os.environ.get("NERF_EMITTER_JIT_CACHE", "1") == "0":
+        return
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "unknown"
+    if backend == "axon":
+        # Observed 2026-08-21 00:48Z (post host-reboot server): executing a
+        # DESERIALIZED cached executable hangs the axon tunnel indefinitely,
+        # while fresh in-process compiles work — a killed client then wedges
+        # subsequent sessions. Fresh compiles cost minutes per process but
+        # always complete; force them on this backend.
+        return
+
     cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.expanduser("~/.cache/nerf_emitter_tpu/jax_cache"),

@@ -24,6 +24,13 @@ START=$(date +%s)
 while [ -d "/proc/$PID" ]; do
   sleep 20
   NOW=$(date +%s)
+  # a fresh driver/builder capture window pauses the workload between
+  # dispatches (capture_lock.checkpoint) — not a stall; don't kill it
+  PF=${NERF_EMITTER_PAUSE_FILE:-/tmp/nerf_emitter_pause}
+  if [ -f "$PF" ] && [ $((NOW - $(stat -c %Y "$PF" 2>/dev/null || echo 0))) -lt 2700 ]; then
+    START=$NOW   # restart the stall clock after the window closes
+    continue
+  fi
   if [ $((NOW - START)) -ge "$TMO" ]; then
     kill "$PID" 2>/dev/null; sleep 5; kill -9 "$PID" 2>/dev/null
     echo "stall_guard: hard timeout (${TMO}s) — killed $PID" >&2
