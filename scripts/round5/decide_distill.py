@@ -49,31 +49,50 @@ def main(argv):
     pf_eval, dl_eval, pf_cham, dl_cham = argv[:4]
     pf = json.loads(Path(pf_eval).read_text())["results"]
     dl = json.loads(Path(dl_eval).read_text())["results"]
-    cpf = json.loads(Path(pf_cham).read_text())["chamfer"]
-    cdl = json.loads(Path(dl_cham).read_text())["chamfer"]
+    # Chamfer files may still be pending (the CPU chamfer worker runs in
+    # parallel with the TPU queue): a '-' placeholder or a missing file
+    # makes this a PSNR-only decision, recorded as such in the evidence;
+    # the queue re-runs the decision once both chamfers land (the gate
+    # write is idempotent), which can revert a PSNR-only flip.
+    def _cham(path):
+        if path == "-" or not Path(path).exists():
+            return None
+        return json.loads(Path(path).read_text())["chamfer"]
+
+    cpf, cdl = _cham(pf_cham), _cham(dl_cham)
 
     dpsnr = pf["psnr"] - dl["psnr"]  # positive = distilled is worse
-    cham_ratio = cdl / max(cpf, 1e-12)
-    passed = dpsnr < PSNR_GATE_DB and cham_ratio < CHAMFER_RATIO_GATE
+    if cpf is not None and cdl is not None:
+        cham_ratio = cdl / max(cpf, 1e-12)
+        passed = dpsnr < PSNR_GATE_DB and cham_ratio < CHAMFER_RATIO_GATE
+    else:
+        cham_ratio = None
+        passed = dpsnr < PSNR_GATE_DB
 
     now = datetime.datetime.now(datetime.timezone.utc).strftime(
         "%Y-%m-%dT%H:%M:%SZ"
     )
     print(f"\n### Distilled-emitter gate decision ({scale} scale, {now})\n")
+    fmt = lambda v: f"{v:.5f}" if v is not None else "pending"  # noqa: E731
     print("| arm | NVS PSNR | SSIM | chamfer |")
     print("|---|---|---|---|")
     print(
         f"| baseline (megakernel) | {pf['psnr']:.3f} |"
-        f" {pf.get('ssim', float('nan')):.3f} | {cpf:.5f} |"
+        f" {pf.get('ssim', float('nan')):.3f} | {fmt(cpf)} |"
     )
     print(
         f"| distilled (light-field cache) | {dl['psnr']:.3f} |"
-        f" {dl.get('ssim', float('nan')):.3f} | {cdl:.5f} |"
+        f" {dl.get('ssim', float('nan')):.3f} | {fmt(cdl)} |"
+    )
+    cham_txt = (
+        f"chamfer ratio = {cham_ratio:.3f} (gate < {CHAMFER_RATIO_GATE})"
+        if cham_ratio is not None
+        else "chamfer PENDING (PSNR-only decision; re-decided when it lands)"
     )
     print(
         f"\nΔPSNR (baseline−distilled) = {dpsnr:+.3f} dB (gate <"
-        f" {PSNR_GATE_DB}), chamfer ratio = {cham_ratio:.3f} (gate <"
-        f" {CHAMFER_RATIO_GATE}). Verdict: **{'PASS' if passed else 'FAIL'}**."
+        f" {PSNR_GATE_DB}), {cham_txt}."
+        f" Verdict: **{'PASS' if passed else 'FAIL'}**."
     )
 
     if report_only:
@@ -87,10 +106,14 @@ def main(argv):
 
     evidence = (
         f"{scale}-scale A/B: baseline PSNR {pf['psnr']:.3f} /"
-        f" chamfer {cpf:.5f}; distilled PSNR {dl['psnr']:.3f} /"
-        f" chamfer {cdl:.5f}; dPSNR {dpsnr:+.3f} dB (gate <"
-        f" {PSNR_GATE_DB}), chamfer ratio {cham_ratio:.3f} (gate <"
-        f" {CHAMFER_RATIO_GATE})"
+        f" chamfer {fmt(cpf)}; distilled PSNR {dl['psnr']:.3f} /"
+        f" chamfer {fmt(cdl)}; dPSNR {dpsnr:+.3f} dB (gate <"
+        f" {PSNR_GATE_DB}), "
+        + (
+            f"chamfer ratio {cham_ratio:.3f} (gate < {CHAMFER_RATIO_GATE})"
+            if cham_ratio is not None
+            else "chamfer pending (PSNR-only decision)"
+        )
     )
     write_gate(
         "distill_emitter",

@@ -339,17 +339,7 @@ if ! stage_done pf_eval && ! check_fails pf_eval; then
   append_results "PROD baseline prod5f (2000+320): NVS [rerun after the 23:07Z reboot wiped the first trained prod5f]" "$R5/e2e_metrics_pf.json"
   mark pf_eval
 fi
-if ! stage_done pf_relight && ! check_fails pf_relight; then
-  wait_capture
-  timeout 3600 python -m nerf_emitter_tpu.scripts.eval \
-    --load-config "$R5/prod5f/sdf-nerfacto/config.json" \
-    --emitter-path "$R3/env_relit.exr" --test-data "$R3/sceneB_relit" \
-    --spp 32 --output-path "$R5/relight_metrics_pf.json" \
-    >> "$R5/logs/pf_relight.log" 2>&1 || fail pf_relight
-  append_results "PROD baseline prod5f (2000+320): relighting" \
-    "$R5/relight_metrics_pf.json"
-  mark pf_relight
-fi
+# (pf_relight moved after bench_gated — gate critical path first)
 # chamfer for pf/dl/ab arms runs in the PARALLEL CPU worker
 # (scripts/round5/chamfer_worker.sh, started by loop.sh): on this 1-core
 # host each export+chamfer is ~45 min, and three of them used to sit
@@ -416,31 +406,28 @@ if ! stage_done dl_steptime && ! check_fails dl_steptime; then
   mark dl_steptime
 fi
 
-# reap the parallel chamfer results (pf + dl) ahead of the gate decision
-if ! stage_done pf_chamfer && ! check_fails pf_chamfer; then
-  wait_chamfer pf 7200 || fail pf_chamfer
-  append_results "PROD baseline prod5f (2000+320): chamfer" "$R5/chamfer_pf.json"
-  mark pf_chamfer
-fi
-if ! stage_done dl_chamfer && ! check_fails dl_chamfer; then
-  wait_chamfer dl 7200 || fail dl_chamfer
-  append_results "A/B distilled emitter (prod5_dl): chamfer" "$R5/chamfer_dl.json"
-  mark dl_chamfer
-fi
-
 # the PRODUCTION-scale gate decision: writes configs/gates.json (flip OR
-# revert), which methods.py and bench.py read
+# revert), which methods.py and bench.py read. The CPU chamfer worker
+# gets a short window; if its JSONs are still pending the decision is
+# PSNR-only (recorded as such) and re-run in full once chamfer lands —
+# the wall clock must not strand the headline behind two 45-min meshes.
 if ! stage_done dl_decide && ! check_fails dl_decide; then
+  wait_chamfer pf 900 || true
+  wait_chamfer dl 900 || true
+  PFC="$R5/chamfer_pf.json"; [ -f "$PFC" ] || PFC=-
+  DLC="$R5/chamfer_dl.json"; [ -f "$DLC" ] || DLC=-
   {
     python scripts/round5/decide_distill.py \
       "$R5/e2e_metrics_pf.json" "$R5/e2e_metrics_dl.json" \
-      "$R5/chamfer_pf.json" "$R5/chamfer_dl.json" \
-      --scale prod > "$R5/dl_decide.md"
+      "$PFC" "$DLC" --scale prod > "$R5/dl_decide.md"
   } 2>> "$R5/logs/dl_decide.log" || fail dl_decide
   cat "$R5/dl_decide.md" >> /root/repo/RESULTS_r05.md
-  (cd /root/repo && git add RESULTS_r05.md nerf_emitter_tpu/configs/gates.json \
+  (git add RESULTS_r05.md nerf_emitter_tpu/configs/gates.json \
     && git commit -q -m "Distilled-emitter gate decision (production scale)" \
          -- RESULTS_r05.md nerf_emitter_tpu/configs/gates.json) || true
+  if [ "$PFC" != - ] && [ "$DLC" != - ]; then
+    mark dl_decide_full
+  fi
   mark dl_decide
 fi
 # headline bench under the GATED default, so the driver's end-of-round
@@ -452,6 +439,43 @@ if ! stage_done bench_gated && ! check_fails bench_gated; then
   append_results "bench.py headline after the production gate" \
     "$R5/bench_after_gate.json"
   mark bench_gated
+fi
+
+if ! stage_done pf_relight && ! check_fails pf_relight; then
+  wait_capture
+  timeout 3600 python -m nerf_emitter_tpu.scripts.eval \
+    --load-config "$R5/prod5f/sdf-nerfacto/config.json" \
+    --emitter-path "$R3/env_relit.exr" --test-data "$R3/sceneB_relit" \
+    --spp 32 --output-path "$R5/relight_metrics_pf.json" \
+    >> "$R5/logs/pf_relight.log" 2>&1 || fail pf_relight
+  append_results "PROD baseline prod5f (2000+320): relighting" \
+    "$R5/relight_metrics_pf.json"
+  mark pf_relight
+fi
+
+# full chamfer reaps (parallel worker) + re-decide with geometry included
+if ! stage_done pf_chamfer && ! check_fails pf_chamfer; then
+  wait_chamfer pf 7200 || fail pf_chamfer
+  append_results "PROD baseline prod5f (2000+320): chamfer" "$R5/chamfer_pf.json"
+  mark pf_chamfer
+fi
+if ! stage_done dl_chamfer && ! check_fails dl_chamfer; then
+  wait_chamfer dl 7200 || fail dl_chamfer
+  append_results "A/B distilled emitter (prod5_dl): chamfer" "$R5/chamfer_dl.json"
+  mark dl_chamfer
+fi
+if ! stage_done dl_decide_full && ! check_fails dl_decide_full; then
+  {
+    python scripts/round5/decide_distill.py \
+      "$R5/e2e_metrics_pf.json" "$R5/e2e_metrics_dl.json" \
+      "$R5/chamfer_pf.json" "$R5/chamfer_dl.json" \
+      --scale prod > "$R5/dl_decide_full.md"
+  } 2>> "$R5/logs/dl_decide_full.log" || fail dl_decide_full
+  cat "$R5/dl_decide_full.md" >> /root/repo/RESULTS_r05.md
+  (cd /root/repo && git add RESULTS_r05.md nerf_emitter_tpu/configs/gates.json \
+    && git commit -q -m "Distilled-emitter gate re-decided with chamfer" \
+         -- RESULTS_r05.md nerf_emitter_tpu/configs/gates.json) || true
+  mark dl_decide_full
 fi
 
 # ---- 4. emitter sample-schedule A/B (VERDICT r3 #3 / r4 weak #5):
