@@ -147,7 +147,7 @@ restore_ckpt() { # $1 = checkpoints dir, $2 = tgz glob (under $RES)
 mkdir -p "$R3"
 if ! stage_done sceneB && ! check_fails sceneB; then
   wait_capture
-  bash /root/repo/scripts/round5/stall_guard.sh "$R3/sceneB" 600 7200 \
+  bash /root/repo/scripts/round5/stall_guard.sh "$R3/sceneB" 1200 7200 \
     python -m nerf_emitter_tpu.scripts.gen_data \
     --object composite --albedo bands \
     --n-views 60 --width 128 --height 128 --spp 32 --path-type random \
@@ -175,7 +175,7 @@ from nerf_emitter_tpu.utils import exr
 img = exr.read_exr('$R3/sceneB/env.exr')
 exr.write_exr('$R3/env_relit.exr', np.roll(img[..., :3], img.shape[1] // 2, axis=1))
 PY
-  bash /root/repo/scripts/round5/stall_guard.sh "$R3/sceneB_relit" 600 7200 \
+  bash /root/repo/scripts/round5/stall_guard.sh "$R3/sceneB_relit" 1200 7200 \
     python -m nerf_emitter_tpu.scripts.gen_data \
     --object composite --albedo bands \
     --envmap "$R3/env_relit.exr" --n-views 30 --width 128 --height 128 \
@@ -530,7 +530,7 @@ fi
 # ---- 5. freq-vs-hash quality A/B (VERDICT r3 #6): 2 scenes x 2 impls
 if ! stage_done scene_v && ! check_fails scene_v; then
   wait_capture
-  bash /root/repo/scripts/round5/stall_guard.sh "$R5/scene_v" 600 3600 \
+  bash /root/repo/scripts/round5/stall_guard.sh "$R5/scene_v" 1200 3600 \
     python -m nerf_emitter_tpu.scripts.gen_data \
     --object sphere --albedo const \
     --n-views 40 --width 96 --height 96 --spp 32 --path-type random \
@@ -564,7 +564,7 @@ done
 # honest-small scale, WITH metrics this time (VERDICT r3 #7 / r4 weak #5)
 if ! stage_done tt_scene && ! check_fails tt_scene; then
   wait_capture
-  bash /root/repo/scripts/round5/stall_guard.sh "$R5/scene_tt" 600 3600 \
+  bash /root/repo/scripts/round5/stall_guard.sh "$R5/scene_tt" 1200 3600 \
     python -m nerf_emitter_tpu.scripts.gen_data \
     --object composite --albedo bands \
     --n-views 60 --width 128 --height 128 --spp 32 --n-rotations 3 \
