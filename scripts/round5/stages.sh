@@ -216,17 +216,30 @@ seed_from() { # $1 = donor ckpt dir, $2 = new experiment dir, $3 = step
   rm -rf "$2"
   mkdir -p "$2/sdf-nerfacto"
   cp -r "$1" "$2/sdf-nerfacto/checkpoints"
-  local d base
+  # Keep ONE checkpoint and name it $3: prefer the largest step <= $3;
+  # fall back to the smallest step overall (orbax retention may have kept
+  # only the FINAL takeover step — that is still a valid donor, because
+  # the NeRF subtree is frozen during takeover and the arms restore with
+  # --load-nerf-only, which reads nothing but the NeRF state).
+  local d base best=
   for d in "$2/sdf-nerfacto/checkpoints"/*; do
     base=$(basename "$d")
-    [[ "$base" =~ ^[0-9]+$ ]] && [ "$base" -gt "$3" ] && rm -rf "$d"
+    [[ "$base" =~ ^[0-9]+$ ]] || continue
+    [ "$base" -le "$3" ] || continue
+    if [ -z "$best" ] || [ "$base" -gt "$best" ]; then best=$base; fi
   done
-  if [ ! -d "$2/sdf-nerfacto/checkpoints/$3" ]; then
-    local latest
-    latest=$(ls "$2/sdf-nerfacto/checkpoints" | grep -E '^[0-9]+$' | sort -n | tail -1)
-    [ -n "$latest" ] || return 1
-    mv "$2/sdf-nerfacto/checkpoints/$latest" "$2/sdf-nerfacto/checkpoints/$3"
+  if [ -z "$best" ]; then
+    best=$(ls "$2/sdf-nerfacto/checkpoints" | grep -E '^[0-9]+$' | sort -n | head -1)
   fi
+  [ -n "$best" ] || return 1
+  for d in "$2/sdf-nerfacto/checkpoints"/*; do
+    base=$(basename "$d")
+    [[ "$base" =~ ^[0-9]+$ ]] && [ "$base" != "$best" ] && rm -rf "$d"
+  done
+  if [ "$best" != "$3" ]; then
+    mv "$2/sdf-nerfacto/checkpoints/$best" "$2/sdf-nerfacto/checkpoints/$3"
+  fi
+  return 0
 }
 
 # ---- 0. on-chip numerics tier: the metric-trust gate for everything below
